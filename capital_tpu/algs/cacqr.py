@@ -1,0 +1,213 @@
+"""Communication-avoiding CholeskyQR / CholeskyQR2 (tall-skinny QR).
+
+Re-design of the reference's cacqr (ref: src/alg/qr/cacqr/cacqr.hpp:5-280,
+cacqr.h:17-55): A = QR for m >> n by factorizing the n x n Gram matrix.
+One sweep:
+
+    G = A^T A            (distributed reduction — THE communication)
+    R, Rinv = chol_inv(G)
+    Q = A @ Rinv         (embarrassingly parallel over row shards)
+
+CholeskyQR2 (num_iter=2) runs the sweep twice and merges R <- R2 @ R1 —
+that second sweep IS the conditioning fix (ref: cacqr.hpp:180-210; arXiv
+1710.08471). The reference dispatches on grid shape (c==1 -> invoke_1d,
+c==d -> invoke_3d on a nested cube, else sweep_tune hybrid,
+ref: cacqr.hpp:229-244); here the dispatch is on where the Gram Cholesky
+runs:
+
+  * 1D path (default for genuinely tall-skinny A): rows sharded over ALL
+    devices, Gram formed by one psum over the whole mesh
+    (ref: invoke_1d, cacqr.hpp:5-29 — local syrk + MPI_Allreduce), Gram
+    factored REPLICATED on every chip (the n x n block is tiny next to A).
+    Q = A @ Rinv is a local trmm per shard — zero communication.
+  * 3D path (n large enough to matter): A sharded P('y','x'), Gram via
+    summa.syrk, Gram factored by the distributed recursive cholinv
+    (ref: sweep_3d, cacqr.hpp:75-120), Q via summa trmm or the 2-block
+    `solve` back-substitution when only a partial inverse was assembled
+    (ref: solve, cacqr.hpp:44-73).
+
+The Gram reduction policy mirrors the reference's split reduction tree
+(column_contig Reduce + column_alt Allreduce, ref: cacqr.hpp:146-149):
+'allreduce' = one psum over the joint axis; 'two_stage' = psum_scatter over
+the long axis + all_gather (rides ICI rings with half the bytes at the root).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from capital_tpu.grid import Grid, ALL_AXES, AXIS_X, AXIS_Y
+from capital_tpu.matrix import DistMatrix
+from capital_tpu.ops import blas, lapack
+from capital_tpu.algs import cholinv as _cholinv
+from capital_tpu.parallel import summa
+
+
+@dataclass(frozen=True)
+class Config:
+    """(ref: cacqr::info, cacqr.h:18-40)
+
+    num_iter:     1 = CholeskyQR, 2 = CholeskyQR2 (ref: bench/qr/cacqr.cpp:14
+                  variant knob).
+    gram_policy:  'allreduce' | 'two_stage' (ref: cacqr.hpp:89-99 vs 146-149).
+    local_thresh: Gram side below which the 1D replicated path is used.
+    chol:         config of the nested cholinv (ref: cacqr.h:17 — cacqr is
+                  parameterized by the cholinv type).
+    """
+
+    num_iter: int = 2
+    gram_policy: str = "allreduce"
+    local_thresh: int = 4096
+    base_method: str = "auto"
+    chol: _cholinv.Config = field(default_factory=_cholinv.Config)
+
+
+# ---------------------------------------------------------------------------
+# Gram reductions (the only collectives on the 1D path)
+# ---------------------------------------------------------------------------
+
+def gram_1d(grid: Grid, a, policy: str = "allreduce"):
+    """G = A^T A with A sharded P(('z','y','x'), None). Returns G replicated.
+
+    (ref: local _syrk + MPI_Allreduce on world, cacqr.hpp:14-17 +
+    policy.h:18-24)."""
+    n = a.shape[1]
+
+    if policy == "allreduce":
+        def kern(a_blk):
+            g = jnp.dot(a_blk.T, a_blk, preferred_element_type=jnp.float32)
+            return lax.psum(g.astype(a_blk.dtype), ALL_AXES)
+    elif policy == "two_stage":
+        # reduce-scatter over the long mesh dimension, then all-gather:
+        # same result, fewer bytes per link on big meshes
+        # (ref: two-stage column_contig/column_alt tree, cacqr.hpp:146-149).
+        def kern(a_blk):
+            g = jnp.dot(a_blk.T, a_blk, preferred_element_type=jnp.float32)
+            g = g.astype(a_blk.dtype)
+            g = lax.psum_scatter(g, ALL_AXES, scatter_dimension=0, tiled=True)
+            return lax.all_gather(g, ALL_AXES, axis=0, tiled=True)
+    else:
+        raise ValueError(f"unknown gram policy {policy!r}")
+
+    f = jax.shard_map(
+        kern,
+        mesh=grid.mesh,
+        in_specs=P(ALL_AXES, None),
+        out_specs=P(None, None),
+        # the scatter+gather pair provably replicates the result, but the
+        # static varying-axis checker cannot see through all_gather
+        check_vma=(policy == "allreduce"),
+    )
+    return f(a)
+
+
+# ---------------------------------------------------------------------------
+# 1D path (ref: invoke_1d, cacqr.hpp:5-29)
+# ---------------------------------------------------------------------------
+
+def _sweep_1d(grid: Grid, a, cfg: Config):
+    g = gram_1d(grid, a, cfg.gram_policy)
+    r, rinv = lapack.chol_inv(g, lower=False, method=cfg.base_method)
+    # Q = A @ Rinv: rinv is replicated, rows of A stay in place — local trmm.
+    q = blas.trmm(rinv, a, side="R", uplo="U")
+    q = grid.constrain(q, P(ALL_AXES, None))
+    return q, r
+
+
+def factor_1d(grid: Grid, a, cfg: Config = Config()):
+    """CholeskyQR(2) with rows sharded over the full mesh. Returns (Q, R):
+    Q sharded like A, R replicated n x n."""
+    if isinstance(a, DistMatrix):
+        a = a.data
+    q, r1 = _sweep_1d(grid, a, cfg)
+    if cfg.num_iter == 1:
+        return q, r1
+    q, r2 = _sweep_1d(grid, q, cfg)
+    # merge R <- R2 @ R1 (ref: cacqr.hpp:204-210 — TRMM of the two factors).
+    r = blas.trmm(r2, jnp.triu(r1), side="L", uplo="U")
+    return q, jnp.triu(r)
+
+
+# ---------------------------------------------------------------------------
+# 3D path (ref: sweep_3d / invoke_3d, cacqr.hpp:75-120, 197-215)
+# ---------------------------------------------------------------------------
+
+def _solve_2block(grid: Grid, a, r, rinv, n1: int, cfg: Config):
+    """Q from a *partial* inverse via 2-level block back-substitution
+    (ref: solve, cacqr.hpp:44-73): Q1 = A1 R11inv; Q2 = (A2 - Q1 R12) R22inv."""
+    n = r.shape[0]
+    impl = cfg.chol.summa_impl
+    a1 = jax.lax.slice(a, (0, 0), (a.shape[0], n1))
+    a2 = jax.lax.slice(a, (0, n1), (a.shape[0], n))
+    r11i = jax.lax.slice(rinv, (0, 0), (n1, n1))
+    r22i = jax.lax.slice(rinv, (n1, n1), (n, n))
+    r12 = jax.lax.slice(r, (0, n1), (n1, n))
+    q1 = summa.trmm(grid, r11i, a1, side="R", uplo="U", impl=impl)
+    t = summa.gemm(grid, q1, r12, c=a2, alpha=-1.0, beta=1.0, impl=impl)
+    q2 = summa.trmm(grid, r22i, t, side="R", uplo="U", impl=impl)
+    return grid.constrain(jnp.concatenate([q1, q2], axis=1), P(AXIS_Y, AXIS_X))
+
+
+def _sweep_3d(grid: Grid, a, cfg: Config):
+    # Gram = A^T A distributed (ref: bcast+gemm+reduce+bcast, cacqr.hpp:89-99
+    # — summa.syrk's gathers/psum are the same tree on mesh axes).
+    g = summa.syrk(grid, a, impl=cfg.chol.summa_impl)
+    r, rinv = _cholinv.factor(grid, g, cfg.chol)
+    if cfg.chol.complete_inv:
+        q = summa.trmm(grid, rinv, a, side="R", uplo="U", impl=cfg.chol.summa_impl)
+    else:
+        n1 = max(cfg.chol.base_dim(grid, g.shape[0]), g.shape[0] >> cfg.chol.split)
+        q = _solve_2block(grid, a, r, rinv, n1, cfg)
+    return q, r
+
+
+def factor_3d(grid: Grid, a, cfg: Config = Config()):
+    """CholeskyQR(2) with A sharded P('y','x') and a distributed Gram
+    Cholesky. Returns (Q, R) both sharded P('y','x')."""
+    if isinstance(a, DistMatrix):
+        a = a.data
+    q, r1 = _sweep_3d(grid, a, cfg)
+    if cfg.num_iter == 1:
+        return q, jnp.triu(r1)
+    q, r2 = _sweep_3d(grid, q, cfg)
+    r = summa.trmm(grid, r2, jnp.triu(r1), side="L", uplo="U",
+                   impl=cfg.chol.summa_impl)
+    return q, jnp.triu(r)
+
+
+# ---------------------------------------------------------------------------
+# dispatch (ref: cacqr::factor grid dispatch, cacqr.hpp:229-244)
+# ---------------------------------------------------------------------------
+
+def factor(grid: Grid, a, cfg: Config = Config()):
+    """Dispatch on Gram size: tiny Gram -> 1D replicated path (the c==1 and
+    hybrid regimes); large Gram -> distributed 3D path (the c==d regime)."""
+    arr = a.data if isinstance(a, DistMatrix) else a
+    if arr.shape[1] <= cfg.local_thresh:
+        return factor_1d(grid, arr, cfg)
+    return factor_3d(grid, arr, cfg)
+
+
+def apply_q(grid: Grid, q, x, *, trans: bool = False, cfg: Config = Config()):
+    """Y = Q X (ref: apply_Q summa-GEMM, cacqr.hpp:272-280). apply_QT — which
+    the reference left as assert(0) "not implemented" (cacqr.hpp:284) — is
+    completed here via the distributed transpose."""
+    impl = cfg.chol.summa_impl
+    if q.sharding.spec == P(ALL_AXES, None):
+        # row-sharded Q: local gemm; Q^T X needs a psum over rows.
+        if not trans:
+            return blas.gemm(q, x)
+        def kern(q_blk, x_blk):
+            part = jnp.dot(q_blk.T, x_blk, preferred_element_type=jnp.float32)
+            return lax.psum(part.astype(q_blk.dtype), ALL_AXES)
+        f = jax.shard_map(kern, mesh=grid.mesh,
+                          in_specs=(P(ALL_AXES, None), P(ALL_AXES, None)),
+                          out_specs=P(None, None))
+        return f(q, x)
+    qq = summa.transpose(grid, q, impl=impl) if trans else q
+    return summa.gemm(grid, qq, x, impl=impl)

@@ -1,0 +1,176 @@
+"""Recursive communication-avoiding Cholesky + simultaneous triangular inverse.
+
+Re-design of the reference's flagship cholinv algorithm
+(ref: src/alg/cholesky/cholinv/cholinv.hpp:6-165, cholinv.h:11-53): computes
+the upper-triangular R (A = R^T R) AND R^{-1} in one divide-and-conquer
+sweep over a c x d x d grid.
+
+Schedule (identical recursion structure, TPU-native mechanics):
+
+    rec(A, n):
+      n <= bc:  base case — factor the aggregated block          [leaf]
+      else:
+        R11, R11inv = rec(A[:n1,:n1])
+        R12  = R11inv^T @ A[:n1,n1:]          # TRSM step -> summa TRMM
+                                              #   (ref: cholinv.hpp:116-123)
+        S    = A[n1:,n1:] - R12^T R12         # Schur complement -> summa SYRK
+                                              #   (ref: cholinv.hpp:131-134)
+        R22, R22inv = rec(S)
+        R12inv = -R11inv @ R12 @ R22inv       # inverse assembly, 2 TRMMs
+                                              #   (ref: cholinv.hpp:147-156)
+
+What the reference does with template machinery maps onto JAX as:
+
+  * `simulate` allocation dry-run (cholinv.hpp:50-83)  -> jit tracing
+    (recursion unrolls at trace time over static block sizes).
+  * serialize sub-block extraction (serialize.hpp)     -> lax.slice on the
+    sharded global array; GSPMD re-shards slices.
+  * base-case policies (policy.h:160-514): the four MPI aggregation
+    strategies collapse to the one that is right on TPU — fully-replicated
+    redundant compute (`ReplicateCommComp`, policy.h:160-224): all-gather
+    the bc x bc block to every chip and factor it identically with the
+    fused Pallas chol_inv kernel. Gathering to one host (NoReplication,
+    policy.h:307-414) would serialize the pod behind one chip and a host
+    round-trip — exactly what TPU designs avoid. The policy enum is kept
+    as an autotuning axis for layer-replicated variants.
+  * IntermediatesPolicy Save/Flush (policy.h:21-156)   -> XLA buffer
+    liveness + optional jax.checkpoint on the recursion (cfg.remat).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from capital_tpu.grid import Grid, AXIS_X, AXIS_Y
+from capital_tpu.matrix import DistMatrix, Structure
+from capital_tpu.ops import lapack
+from capital_tpu.parallel import summa
+
+
+class BasePolicy(enum.Enum):
+    """Base-case compute placement (ref: cholinv/policy.h:160-514)."""
+
+    REPLICATED = "replicated"  # ReplicateCommComp analog: every chip factors
+
+
+@dataclass(frozen=True)
+class Config:
+    """Knobs of the reference's `info` pack (ref: cholinv.h:16-44).
+
+    split:        recursion split exponent — top-left block is n >> split
+                  (ref: cholinv.hpp:92).
+    bc_mult:      base-case dim = (d*c) << bc_mult, clamped to >= 128 for
+                  MXU-friendly leaves (ref: bc_mult_dim scaling,
+                  cholinv.hpp:15-18).
+    complete_inv: assemble off-diagonal R12inv blocks at the top level too
+                  (ref: cholinv.hpp:147-156).
+    base_method:  local kernel for the replicated leaf ('pallas'|'xla'|'auto').
+    summa_impl:   'shard_map' (explicit collectives) or 'gspmd'.
+    remat:        jax.checkpoint the recursion branches (FlushIntermediates
+                  analog — trades FLOPs for peak memory).
+    """
+
+    split: int = 1
+    bc_mult: int = 0
+    complete_inv: bool = True
+    base_method: str = "auto"
+    base_policy: BasePolicy = BasePolicy.REPLICATED
+    summa_impl: str = "shard_map"
+    remat: bool = False
+    min_bc: int = 128
+
+    def base_dim(self, grid: Grid, n: int) -> int:
+        bc = max(self.min_bc, grid.d * grid.c) << self.bc_mult
+        return min(bc, n)
+
+
+def _base_case(grid: Grid, a, cfg: Config):
+    """Replicated leaf: all-gather the block, factor+invert on every chip.
+
+    The with_sharding_constraint to P(None, None) is the all-gather on the
+    slice axes (ref: MPI_Allgather in policy.h:176); the constraint back to
+    P('y','x') is a local slice (free)."""
+    a_rep = grid.constrain(a, P(None, None))
+    r, rinv = lapack.chol_inv(a_rep, lower=False, method=cfg.base_method)
+    r = grid.constrain(r, P(AXIS_Y, AXIS_X))
+    rinv = grid.constrain(rinv, P(AXIS_Y, AXIS_X))
+    return r, rinv
+
+
+def _rec(grid: Grid, a, n: int, bc: int, cfg: Config, top: bool):
+    if n <= bc:
+        return _base_case(grid, a, cfg)
+
+    n1 = max(bc, n >> cfg.split)
+    n2 = n - n1
+
+    a11 = jax.lax.slice(a, (0, 0), (n1, n1))
+    a12 = jax.lax.slice(a, (0, n1), (n1, n))
+    a22 = jax.lax.slice(a, (n1, n1), (n, n))
+
+    rec = _rec
+    if cfg.remat:
+        rec = jax.checkpoint(_rec, static_argnums=(2, 3, 5))
+
+    r11, r11inv = rec(grid, a11, n1, bc, cfg, False)
+
+    # TRSM step: R12 = R11^{-T} A12 (ref: cholinv.hpp:116-123 — transpose of
+    # R11inv + summa TRMM).
+    r12 = summa.trmm(grid, r11inv, a12, side="L", uplo="U", trans_a=True,
+                     impl=cfg.summa_impl)
+
+    # Schur update: S = A22 - R12^T R12 (ref: cholinv.hpp:131-134).
+    s = summa.syrk(grid, r12, c=a22, alpha=-1.0, beta=1.0, impl=cfg.summa_impl)
+
+    r22, r22inv = rec(grid, s, n2, bc, cfg, False)
+
+    zeros = jnp.zeros((n2, n1), dtype=a.dtype)
+    r = jnp.block([[r11, r12], [zeros, r22]])
+    r = grid.constrain(r, P(AXIS_Y, AXIS_X))
+
+    if cfg.complete_inv or not top:
+        # R12inv = -R11inv @ R12 @ R22inv (ref: cholinv.hpp:147-156).
+        t = summa.trmm(grid, r22inv, r12, side="R", uplo="U", impl=cfg.summa_impl)
+        r12inv = summa.trmm(grid, r11inv, t, side="L", uplo="U", alpha=-1.0,
+                            impl=cfg.summa_impl)
+    else:
+        r12inv = jnp.zeros_like(r12)
+    rinv = jnp.block([[r11inv, r12inv], [zeros, r22inv]])
+    rinv = grid.constrain(rinv, P(AXIS_Y, AXIS_X))
+    return r, rinv
+
+
+def factor(grid: Grid, a, cfg: Config = Config()):
+    """Factor a (padded) SPD matrix: returns (R, Rinv), both dense upper-
+    triangular-valued arrays sharded P('y','x') (ref: cholinv::factor,
+    cholinv.hpp:6-28).
+
+    Accepts a DistMatrix or a raw global array whose shape is already
+    summa-compatible (d | n and d*c | n).
+    """
+    if isinstance(a, DistMatrix):
+        arr = a.data
+    else:
+        arr = a
+    n = arr.shape[0]
+    bc = cfg.base_dim(grid, n)
+    r, rinv = _rec(grid, arr, n, bc, cfg, True)
+    return r, rinv
+
+
+def construct_r(r, shape=None) -> jax.Array:
+    """Dense masked export (ref: construct_R, cholinv.hpp:30-37)."""
+    out = jnp.triu(r)
+    if shape is not None:
+        out = out[: shape[0], : shape[1]]
+    return out
+
+
+def construct_rinv(rinv, shape=None) -> jax.Array:
+    """(ref: construct_Rinv, cholinv.hpp:39-46)"""
+    return construct_r(rinv, shape)

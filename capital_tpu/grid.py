@@ -1,0 +1,185 @@
+"""Device grids: the TPU-native equivalent of the reference's MPI process grids.
+
+The reference builds c x d x d ("square", ref: src/util/topology.h:67-143) and
+d x c x c ("rect", ref: src/util/topology.h:16-65) communicator grids by
+repeatedly splitting MPI_COMM_WORLD; every collective then runs on a
+sub-communicator (row / column / depth / slice).
+
+Here the whole job is one SPMD program over a single `jax.sharding.Mesh` with
+named axes ('z', 'y', 'x'):
+
+  z — depth / replication axis (the "c" of 2.5D algorithms; maps the
+      reference's `depth` communicator),
+  y — grid rows (maps `column` comm: ranks varying in the row coordinate),
+  x — grid cols (maps `row` comm).
+
+Sub-communicators become axis names passed to collectives (`lax.psum(v, 'z')`
+== MPI_Allreduce on the depth comm); the slice comm is the axis pair
+('y', 'x'); world is ('z', 'y', 'x'). Communicator construction cost
+disappears: the mesh is built once and reused (the reference also builds its
+topology once per run — topology.h destructors at :53-60,133-138).
+
+The reference's three `layout` variants (topology.h:80-123) are rank-order
+permutations for network locality; on TPU the analogous control is the
+device order used to build the mesh, exposed here as `layout=`.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Canonical axis names, outermost-first.
+AXIS_Z = "z"  # depth / replication ("c")
+AXIS_Y = "y"  # grid row coordinate
+AXIS_X = "x"  # grid col coordinate
+ALL_AXES = (AXIS_Z, AXIS_Y, AXIS_X)
+
+
+def _device_table(devices: Sequence[Any] | None) -> list:
+    if devices is None:
+        devices = jax.devices()
+    return list(devices)
+
+
+def _is_pow2(n: int) -> bool:
+    return n > 0 and (n & (n - 1)) == 0
+
+
+@dataclass(frozen=True)
+class Grid:
+    """A 3D device grid of shape (c, d1, d2) with axes ('z','y','x').
+
+    square grids have d1 == d2 == d (ref: topo::square, topology.h:67-143);
+    rect grids have d1 = P/(c*c) >= d2 = c for tall-skinny operands
+    (ref: topo::rect, topology.h:16-65).
+    """
+
+    mesh: Mesh
+
+    # ---- constructors -------------------------------------------------
+
+    @classmethod
+    def square(
+        cls,
+        c: int = 1,
+        d: int | None = None,
+        devices: Sequence[Any] | None = None,
+        layout: int = 0,
+    ) -> "Grid":
+        """c-deep d x d grid. P = c*d*d devices.
+
+        Mirrors topo::square(comm, c, layout, num_chunks) (topology.h:67).
+        `layout` permutes device order (0: natural; 1: z-innermost — the
+        reference's front-face-major variant, topology.h:96-103).
+        """
+        devs = _device_table(devices)
+        p = len(devs)
+        if d is None:
+            d = math.isqrt(p // c)
+        if c * d * d != p:
+            raise ValueError(f"square grid needs c*d*d == P: c={c}, d={d}, P={p}")
+        return cls._build(devs, (c, d, d), layout)
+
+    @classmethod
+    def rect(
+        cls,
+        c: int = 1,
+        devices: Sequence[Any] | None = None,
+        layout: int = 0,
+    ) -> "Grid":
+        """Tunable d x c x c grid with long axis d = P/c^2 on 'y'.
+
+        Mirrors topo::rect (topology.h:16-65): interpolates 1D (c=1) -> 3D
+        (c=d) parallelism for tall-skinny operands; the QR driver sweeps c
+        (ref: bench/qr/cacqr.cpp:17-18,31).
+        """
+        devs = _device_table(devices)
+        p = len(devs)
+        if c * c > p or p % (c * c) != 0:
+            raise ValueError(f"rect grid needs c^2 | P: c={c}, P={p}")
+        d = p // (c * c)
+        return cls._build(devs, (c, d, c), layout)
+
+    @classmethod
+    def _build(cls, devs: list, shape: tuple[int, int, int], layout: int) -> "Grid":
+        arr = np.asarray(devs)
+        if layout == 0:
+            arr = arr.reshape(shape)
+        elif layout == 1:
+            # z-innermost: consecutive devices stack along depth.
+            c, d1, d2 = shape
+            arr = arr.reshape(d1, d2, c).transpose(2, 0, 1)
+        else:
+            raise ValueError(f"unknown layout {layout}")
+        return cls(mesh=Mesh(arr, ALL_AXES))
+
+    # ---- properties ----------------------------------------------------
+
+    @property
+    def c(self) -> int:
+        """Depth (replication) factor — size of the 'z' axis."""
+        return self.mesh.shape[AXIS_Z]
+
+    @property
+    def d1(self) -> int:
+        return self.mesh.shape[AXIS_Y]
+
+    @property
+    def d2(self) -> int:
+        return self.mesh.shape[AXIS_X]
+
+    @property
+    def d(self) -> int:
+        """Side of the square slice; valid only when d1 == d2."""
+        if self.d1 != self.d2:
+            raise ValueError(f"grid is not square: {self.shape}")
+        return self.d1
+
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        return (self.c, self.d1, self.d2)
+
+    @property
+    def num_devices(self) -> int:
+        return self.c * self.d1 * self.d2
+
+    @property
+    def is_square(self) -> bool:
+        return self.d1 == self.d2
+
+    # ---- shardings -----------------------------------------------------
+
+    def sharding(self, spec: P) -> NamedSharding:
+        return NamedSharding(self.mesh, spec)
+
+    @property
+    def block2d(self) -> NamedSharding:
+        """Block layout of a matrix over the (y, x) slice, replicated over z.
+
+        This is the reference's canonical distribution: every matrix lives
+        block-cyclically on the d x d slice and identically on each depth
+        layer (ref: src/matrix/matrix.hpp:7-11 + seeded generation
+        structure.hpp:80-85 which makes all layers identical).
+        """
+        return self.sharding(P(AXIS_Y, AXIS_X))
+
+    @property
+    def row1d(self) -> NamedSharding:
+        """Rows sharded over every device (tall-skinny layout).
+
+        TPU-native analogue of the reference's 1D / rect-grid distribution
+        for m >> n operands (ref: cacqr.hpp:5-29, topology.h:16-65)."""
+        return self.sharding(P(ALL_AXES, None))
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return self.sharding(P(None, None))
+
+    def constrain(self, x: jax.Array, spec: P) -> jax.Array:
+        return jax.lax.with_sharding_constraint(x, self.sharding(spec))

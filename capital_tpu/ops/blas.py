@@ -1,0 +1,69 @@
+"""Local (single-program) BLAS-3 semantics on the MXU.
+
+Replaces the reference's strongly-typed arg-pack layer over MKL CBLAS
+(ref: src/blas/engine.h:23-130, src/blas/interface.hpp:43-97): _gemm, _trmm,
+_syrk. On TPU these are jnp.dot/dot_general — XLA tiles them onto the MXU and
+fuses the alpha/beta/masking elementwise epilogues, so a hand-written kernel
+would only lose to the compiler here. (The genuinely custom kernels live in
+ops/pallas_chol.py.)
+
+Conventions:
+  * triangular operands are dense arrays; `uplo` selects the mask
+    (the dense-over-packed decision is documented in matrix.py),
+  * accumulation dtype is always float32 via preferred_element_type so
+    bf16 inputs still accumulate exactly on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _acc_dtype(x):
+    return jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16, jnp.float32) else x.dtype
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=_acc_dtype(a)).astype(a.dtype)
+
+
+def gemm(a, b, *, c=None, alpha=1.0, beta=0.0, trans_a=False, trans_b=False):
+    """C = alpha * op(A) op(B) + beta * C  (ref: ArgPack_gemm, engine.h:72-89)."""
+    a = a.T if trans_a else a
+    b = b.T if trans_b else b
+    out = _dot(a, b)
+    if alpha != 1.0:
+        out = alpha * out
+    if c is not None and beta != 0.0:
+        out = out + beta * c
+    return out
+
+
+def trmm(a, b, *, side="L", uplo="U", trans_a=False, diag="N", alpha=1.0):
+    """B = alpha * op(tri(A)) B (side=L) or alpha * B op(tri(A)) (side=R)
+    (ref: ArgPack_trmm, engine.h:91-111).
+
+    tri() masks A to its `uplo` triangle; diag='U' forces a unit diagonal."""
+    t = jnp.triu(a) if uplo == "U" else jnp.tril(a)
+    if diag == "U":
+        n = a.shape[0]
+        t = t - jnp.diag(jnp.diag(t)) + jnp.eye(n, dtype=a.dtype)
+    if trans_a:
+        t = t.T
+    out = _dot(t, b) if side == "L" else _dot(b, t)
+    if alpha != 1.0:
+        out = alpha * out
+    return out
+
+
+def syrk(a, *, c=None, uplo="U", trans="T", alpha=1.0, beta=0.0):
+    """C = alpha * A^T A + beta * C (trans='T') or alpha * A A^T + beta * C
+    (ref: ArgPack_syrk, engine.h:113-130). Returns the full symmetric result;
+    `uplo` only matters to callers that mask afterwards."""
+    out = _dot(a.T, a) if trans == "T" else _dot(a, a.T)
+    if alpha != 1.0:
+        out = alpha * out
+    if c is not None and beta != 0.0:
+        out = out + beta * c
+    return out

@@ -1,0 +1,73 @@
+"""Local factorization kernels: Cholesky + simultaneous triangular inverse.
+
+Replaces the reference's LAPACKE wrappers _potrf/_trtri (ref:
+src/lapack/engine.h:38-102, src/lapack/interface.hpp:30-88). The reference's
+flagship algorithm computes the Cholesky factor R and R^{-1} *together*
+(ref: cholinv.h:46-53); the base case is potrf followed by trtri on a
+replicated block (ref: cholinv/policy.h:190-205). We fuse the pair:
+
+  chol_inv(A) -> (R, Rinv)  with A = R^T R, R upper-triangular.
+
+Two implementations, selected by `method`:
+  * "xla"    — lax.linalg.cholesky + triangular_solve against I. Stock XLA;
+               used as the correctness oracle and CPU fallback.
+  * "pallas" — fused blocked Pallas kernel (ops/pallas_chol.py) that keeps
+               the panel recursion in VMEM and does all updates on the MXU.
+  * "auto"   — pallas on TPU, xla elsewhere.
+
+geqrf/orgqr have no counterpart here on purpose: the reference wraps but
+never calls them (SURVEY §2 — only potrf/trtri are used); our QR is
+CholeskyQR2 which needs exactly chol_inv.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def chol_inv_xla(a: jax.Array, lower: bool = False):
+    """(R, Rinv) with A = R^T R (upper, default) or (L, Linv) with A = L L^T."""
+    L = lax.linalg.cholesky(a)  # lower
+    eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+    Linv = lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    if lower:
+        return L, Linv
+    return jnp.swapaxes(L, -1, -2), jnp.swapaxes(Linv, -1, -2)
+
+
+def potrf(a: jax.Array, lower: bool = False) -> jax.Array:
+    """Cholesky factor only (ref: _potrf, lapack/interface.hpp:30-47)."""
+    L = lax.linalg.cholesky(a)
+    return L if lower else jnp.swapaxes(L, -1, -2)
+
+
+def trtri(t: jax.Array, lower: bool = False) -> jax.Array:
+    """Triangular inverse (ref: _trtri, lapack/interface.hpp:49-66)."""
+    eye = jnp.eye(t.shape[-1], dtype=t.dtype)
+    return lax.linalg.triangular_solve(t, eye, left_side=True, lower=lower)
+
+
+def chol_inv(a: jax.Array, lower: bool = False, method: str = "auto"):
+    """Fused Cholesky + triangular inverse. See module docstring."""
+    if method == "auto":
+        import os
+
+        method = os.environ.get("CAPITAL_CHOL_METHOD") or (
+            "pallas" if _on_tpu(a) else "xla"
+        )
+    if method == "xla":
+        return chol_inv_xla(a, lower=lower)
+    if method == "pallas":
+        from capital_tpu.ops.pallas_chol import chol_inv_pallas
+
+        return chol_inv_pallas(a, lower=lower)
+    raise ValueError(f"unknown chol_inv method {method!r}")
+
+
+def _on_tpu(x) -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False

@@ -1,0 +1,141 @@
+"""Distributed 2.5D matrix multiplication over the device mesh.
+
+Re-design of the reference's SUMMA engine (ref: src/alg/matmult/summa/
+summa.hpp:6-253): the single communication engine that cholinv, cacqr and
+validation all ride on (same dependency shape here).
+
+Reference schedule (MPI): operands block-distributed on the d x d slice and
+replicated over the c-deep 'z' axis; A broadcast along row comms and B along
+column comms rooted at the depth coordinate z (summa.hpp:163-221); local
+GEMM; MPI_Allreduce of the partial C over the depth comm (summa.hpp:223-253).
+
+TPU schedule (shard_map + XLA collectives over ICI), communication-optimal
+for the same layout:
+
+    each device (z, y, x) holds block A[y, x] (z-replicated);
+    it locally slices the z-th 1/c of its block's K extent (the depth
+    "root" of the reference becomes a local slice — data is already
+    replicated, so no broadcast is needed to move K-work onto layer z);
+    all_gather(A-slices, axis='x') / all_gather(B-slices, axis='y')
+    assemble layer z's (1/c of the) K panels;          <- ref: distribute()
+    one MXU gemm per device;                           <- ref: local _gemm
+    psum over 'z' sums the layer partials.             <- ref: collect()
+
+Per-device bytes moved ~ 2 n^2/(d c) + n^2/d^2: the 2.5D lower bound
+O(n^2 / sqrt(c P)). With c=1 this is exactly 2D SUMMA; with c=d it is the
+3D algorithm. XLA pipelines the two all_gathers against the gemm, which
+subsumes the reference's hand-rolled chunked Ibcast overlap knob
+(summa.hpp:195-215).
+
+All functions take/return *global* jax.Arrays sharded P('y','x') on
+grid.mesh and are jit-traceable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from capital_tpu.grid import Grid, AXIS_X, AXIS_Y, AXIS_Z
+from capital_tpu.matrix import Structure, apply_structure
+
+
+def _check_divisible(grid: Grid, a, b):
+    d, c = grid.d, grid.c
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(f"gemm shape mismatch: {a.shape} @ {b.shape}")
+    if m % d or n % d or k % (d * c):
+        raise ValueError(
+            f"summa needs d | m,n and d*c | k: m={m} n={n} k={k} d={d} c={c}"
+        )
+
+
+def _summa_kernel(a_blk, b_blk):
+    """Local shard_map body. a_blk: (mb, kb), b_blk: (kb, nb) at (z, y, x)."""
+    z = lax.axis_index(AXIS_Z)
+    c = lax.axis_size(AXIS_Z)
+    kc_a = a_blk.shape[1] // c
+    kc_b = b_blk.shape[0] // c
+    # layer z takes the z-th K sub-slice of every block (cyclic-over-blocks
+    # K chunking; the k-order of the two gathers matches by construction).
+    a_sub = lax.dynamic_slice_in_dim(a_blk, z * kc_a, kc_a, 1)
+    b_sub = lax.dynamic_slice_in_dim(b_blk, z * kc_b, kc_b, 0)
+    a_k = lax.all_gather(a_sub, AXIS_X, axis=1, tiled=True)  # (mb, k/c)
+    b_k = lax.all_gather(b_sub, AXIS_Y, axis=0, tiled=True)  # (k/c, nb)
+    part = jnp.dot(a_k, b_k, preferred_element_type=jnp.float32)
+    return lax.psum(part, AXIS_Z).astype(a_blk.dtype)
+
+
+def gemm(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
+    """C = alpha * A @ B + beta * C, distributed (ref: summa.hpp:6-44).
+
+    alpha/beta are applied as a fused elementwise epilogue on the already
+    block-aligned output (the reference's save/restore AXPY, summa.hpp:27-35).
+    """
+    if impl == "gspmd":
+        out = jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
+        out = grid.constrain(out, P(AXIS_Y, AXIS_X))
+    else:
+        _check_divisible(grid, a, b)
+        f = jax.shard_map(
+            _summa_kernel,
+            mesh=grid.mesh,
+            in_specs=(P(AXIS_Y, AXIS_X), P(AXIS_Y, AXIS_X)),
+            out_specs=P(AXIS_Y, AXIS_X),
+        )
+        out = f(a, b)
+    if alpha != 1.0:
+        out = alpha * out
+    if c is not None and beta != 0.0:
+        out = out + beta * c
+    return out
+
+
+def transpose(grid: Grid, a, impl="shard_map"):
+    """Distributed transpose: every device swaps blocks with its grid-
+    transposed partner, then transposes locally (ref: util::transpose,
+    util.hpp:232-247 — pairwise MPI_Sendrecv_replace). Here the pairwise
+    exchange is one lax.ppermute over the joint ('y','x') axis."""
+    if impl == "gspmd":
+        return grid.constrain(a.T, P(AXIS_Y, AXIS_X))
+    d = grid.d
+    perm = [(y * d + x, x * d + y) for y in range(d) for x in range(d)]
+
+    def kern(blk):
+        blk = lax.ppermute(blk, (AXIS_Y, AXIS_X), perm)
+        return blk.T
+
+    f = jax.shard_map(
+        kern, mesh=grid.mesh, in_specs=P(AXIS_Y, AXIS_X), out_specs=P(AXIS_Y, AXIS_X)
+    )
+    return f(a)
+
+
+def trmm(grid: Grid, a, b, *, side="L", uplo="U", trans_a=False, alpha=1.0, impl="shard_map"):
+    """Distributed triangular multiply (ref: summa.hpp:46-83). Triangular
+    structure is a global mask fused into the operand (see matrix.py); the
+    multiply itself is the gemm engine."""
+    t = apply_structure(a, Structure.UPPERTRI if uplo == "U" else Structure.LOWERTRI)
+    if trans_a:
+        t = transpose(grid, t, impl=impl)
+    if side == "L":
+        out = gemm(grid, t, b, alpha=alpha, impl=impl)
+    else:
+        out = gemm(grid, b, t, alpha=alpha, impl=impl)
+    return out
+
+
+def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
+    """C = alpha * A^T A + beta * C, distributed (ref: summa.hpp:85-161).
+
+    Implemented as grid-transpose + gemm — the reference does exactly this
+    (A times A-grid-transposed, summa.hpp:110-161) because block-cyclic
+    layout breaks local symmetry; the same argument holds for mesh sharding."""
+    at = transpose(grid, a, impl=impl)
+    return gemm(grid, at, a, c=c, alpha=alpha, beta=beta, impl=impl)

@@ -1,0 +1,68 @@
+"""Numerical validation oracles, computed distributed.
+
+Re-design of the reference's test/ validators (ref: test/cholesky/
+validate.hpp:7-49, test/qr/validate.hpp:7-52, test/inverse/validate.hpp:7-34
++ util::residual_local, util.hpp:25-53). Same acceptance criteria, same
+"validate with the library's own distributed machinery" structure — but
+wired into pytest instead of commented-out driver calls (the gap SURVEY §4
+flags).
+
+All functions return scalar relative Frobenius errors and are jit-friendly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from capital_tpu.grid import Grid
+from capital_tpu.parallel import summa
+
+
+def _fro(x) -> jax.Array:
+    return jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32))))
+
+
+def cholesky_residual(grid: Grid, a, r, impl: str = "shard_map") -> jax.Array:
+    """||R^T R - A||_F / ||A||_F (ref: cholesky::validate::residual,
+    test/cholesky/validate.hpp:7-49 — rebuild A via transpose + summa)."""
+    rr = summa.syrk(grid, jnp.triu(r), impl=impl)
+    return _fro(rr - a) / _fro(a)
+
+
+def inverse_residual(grid: Grid, r, rinv, impl: str = "shard_map") -> jax.Array:
+    """||R Rinv - I||_F / sqrt(n) (ref: inverse::validate::invoke,
+    test/inverse/validate.hpp:7-34)."""
+    n = r.shape[0]
+    prod = summa.trmm(grid, jnp.triu(r), jnp.triu(rinv), side="L", uplo="U", impl=impl)
+    eye = jnp.eye(n, dtype=r.dtype)
+    return _fro(prod - eye) / jnp.sqrt(jnp.float32(n))
+
+
+def qr_orthogonality(grid: Grid, q, impl: str = "shard_map") -> jax.Array:
+    """||Q^T Q - I||_F / sqrt(n) (ref: qr::validate::orthogonality,
+    test/qr/validate.hpp:7-32)."""
+    from jax.sharding import PartitionSpec as P
+    from capital_tpu.grid import ALL_AXES
+    from capital_tpu.algs.cacqr import gram_1d
+
+    if q.sharding.spec == P(ALL_AXES, None):
+        g = gram_1d(grid, q)
+    else:
+        g = summa.syrk(grid, q, impl=impl)
+    n = g.shape[0]
+    return _fro(g - jnp.eye(n, dtype=g.dtype)) / jnp.sqrt(jnp.float32(n))
+
+
+def qr_residual(grid: Grid, a, q, r, impl: str = "shard_map") -> jax.Array:
+    """||Q R - A||_F / ||A||_F (ref: qr::validate::residual,
+    test/qr/validate.hpp:34-52)."""
+    from jax.sharding import PartitionSpec as P
+    from capital_tpu.grid import ALL_AXES
+    from capital_tpu.ops import blas
+
+    if q.sharding.spec == P(ALL_AXES, None):
+        qr = blas.trmm(jnp.triu(r), q, side="R", uplo="U")
+    else:
+        qr = summa.trmm(grid, jnp.triu(r), q, side="R", uplo="U", impl=impl)
+    return _fro(qr - a) / _fro(a)

@@ -1,0 +1,60 @@
+"""Test fixtures: multi-device grids on a virtual CPU mesh.
+
+The reference has no test runner at all (SURVEY §4) — its validators are
+commented-out calls in MPI bench drivers. Here every layer gets pytest
+coverage, with collectives exercised on 8 virtual CPU devices
+(--xla_force_host_platform_device_count), the standard JAX fake backend for
+grid logic without a TPU pod.
+"""
+
+import os
+import sys
+
+# Must be set before the CPU backend is instantiated.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# Local kernels default to the XLA implementation on CPU; Pallas kernels are
+# tested explicitly in interpret mode.
+os.environ.setdefault("CAPITAL_CHOL_METHOD", "xla")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+# Keep unit tests off any real accelerator: plain (unsharded) arrays land on
+# the default device, which must be a CPU so numerics are exact f32.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+from capital_tpu.grid import Grid  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpus():
+    devs = jax.devices("cpu")
+    assert len(devs) >= 8, "tests need 8 virtual CPU devices"
+    return devs
+
+
+@pytest.fixture(scope="session")
+def grid222(cpus):
+    """2-deep 2x2 grid: the smallest true 2.5D configuration."""
+    return Grid.square(c=2, d=2, devices=cpus[:8])
+
+
+@pytest.fixture(scope="session")
+def grid122(cpus):
+    """Flat 2x2 grid (c=1): plain 2D SUMMA."""
+    return Grid.square(c=1, d=2, devices=cpus[:4])
+
+
+@pytest.fixture(scope="session")
+def grid_rect(cpus):
+    """rect grid c=2 -> 2x2x2 with long 'y' axis (tall-skinny layouts)."""
+    return Grid.rect(c=2, devices=cpus[:8])
+
+
+@pytest.fixture(scope="session")
+def grid1(cpus):
+    return Grid.square(c=1, d=1, devices=cpus[:1])

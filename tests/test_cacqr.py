@@ -1,0 +1,83 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from capital_tpu import matrix, validate
+from capital_tpu.algs import cacqr, cholinv
+
+
+def test_cholqr2_1d(grid222):
+    m, n = 1024, 32
+    a = matrix.tall_skinny(grid222, m, n, jax.random.key(0))
+    cfg = cacqr.Config(num_iter=2, base_method="xla")
+    q, r = cacqr.factor_1d(grid222, a.data, cfg)
+    assert float(validate.qr_orthogonality(grid222, q)) < 1e-5
+    assert float(validate.qr_residual(grid222, a.data, q, r)) < 1e-5
+    assert np.allclose(np.asarray(r), np.triu(np.asarray(r)))
+
+
+def test_cholqr2_beats_cholqr1(grid222):
+    """The second sweep is the conditioning fix (ref: cacqr.hpp:180-210)."""
+    m, n = 2048, 32
+    key = jax.random.key(1)
+    # ill-conditioned columns
+    a = matrix.tall_skinny(grid222, m, n, key).data
+    scale = jnp.logspace(0, 3, n)[None, :].astype(a.dtype)
+    a = (a * scale).block_until_ready()
+    orth = {}
+    for it in (1, 2):
+        cfg = cacqr.Config(num_iter=it, base_method="xla")
+        q, r = cacqr.factor_1d(grid222, a, cfg)
+        orth[it] = float(validate.qr_orthogonality(grid222, q))
+    assert orth[2] < orth[1]
+    assert orth[2] < 1e-5
+
+
+def test_gram_policies_match(grid222):
+    m, n = 512, 16
+    a = matrix.tall_skinny(grid222, m, n, jax.random.key(2)).data
+    g1 = cacqr.gram_1d(grid222, a, "allreduce")
+    g2 = cacqr.gram_1d(grid222, a, "two_stage")
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(a).T @ np.asarray(a), atol=1e-4
+    )
+
+
+def test_cholqr2_3d(grid122):
+    """3D path: distributed Gram + distributed cholinv."""
+    m, n = 256, 128
+    a = matrix.rand(grid122, m, n, jax.random.key(3)).data
+    cfg = cacqr.Config(
+        num_iter=2, chol=cholinv.Config(min_bc=32, base_method="xla")
+    )
+    q, r = cacqr.factor_3d(grid122, a, cfg)
+    assert float(validate.qr_orthogonality(grid122, q)) < 1e-5
+    assert float(validate.qr_residual(grid122, a, q, r)) < 1e-5
+
+
+def test_cholqr_3d_partial_inverse_solve(grid122):
+    """complete_inv=False exercises the 2-block back-substitution
+    (ref: solve, cacqr.hpp:44-73)."""
+    m, n = 256, 128
+    a = matrix.rand(grid122, m, n, jax.random.key(4)).data
+    cfg = cacqr.Config(
+        num_iter=2,
+        chol=cholinv.Config(min_bc=32, complete_inv=False, base_method="xla"),
+    )
+    q, r = cacqr.factor_3d(grid122, a, cfg)
+    assert float(validate.qr_orthogonality(grid122, q)) < 1e-5
+    assert float(validate.qr_residual(grid122, a, q, r)) < 1e-5
+
+
+def test_apply_q_1d(grid222):
+    m, n = 512, 32
+    a = matrix.tall_skinny(grid222, m, n, jax.random.key(5)).data
+    q, r = cacqr.factor_1d(grid222, a, cacqr.Config(base_method="xla"))
+    x = jnp.eye(n, dtype=q.dtype)
+    qx = cacqr.apply_q(grid222, q, x)
+    np.testing.assert_allclose(np.asarray(qx), np.asarray(q), atol=1e-5)
+    # Q^T A == R
+    qta = cacqr.apply_q(grid222, q, a, trans=True)
+    np.testing.assert_allclose(np.asarray(qta), np.asarray(r), atol=1e-3)

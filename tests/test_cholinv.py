@@ -1,0 +1,68 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from capital_tpu import matrix, validate
+from capital_tpu.algs import cholinv
+
+
+def _spd(grid, n, seed=0):
+    return matrix.symmetric(grid, n, jax.random.key(seed)).data
+
+
+@pytest.mark.parametrize("gridname", ["grid122", "grid222"])
+def test_factor_residual(gridname, request):
+    grid = request.getfixturevalue(gridname)
+    n = 256
+    a = _spd(grid, n)
+    cfg = cholinv.Config(min_bc=64, base_method="xla")
+    r, rinv = cholinv.factor(grid, a, cfg)
+    res = float(validate.cholesky_residual(grid, a, r))
+    inv = float(validate.inverse_residual(grid, r, rinv))
+    assert res < 5e-6, res
+    assert inv < 5e-6, inv
+
+
+def test_factor_matches_xla_chol(grid122):
+    n = 128
+    a = _spd(grid122, n, seed=1)
+    cfg = cholinv.Config(min_bc=32, base_method="xla")
+    r, _ = cholinv.factor(grid122, a, cfg)
+    ref = np.linalg.cholesky(np.asarray(a, dtype=np.float64)).T
+    np.testing.assert_allclose(np.triu(np.asarray(r)), ref, rtol=0, atol=2e-4)
+
+
+def test_split_knob(grid122):
+    n = 256
+    a = _spd(grid122, n, seed=2)
+    for split in (1, 2):
+        cfg = cholinv.Config(min_bc=32, split=split, base_method="xla")
+        r, rinv = cholinv.factor(grid122, a, cfg)
+        assert float(validate.cholesky_residual(grid122, a, r)) < 5e-6
+
+
+def test_complete_inv_false_top_level(grid122):
+    n = 128
+    a = _spd(grid122, n, seed=3)
+    cfg = cholinv.Config(min_bc=32, complete_inv=False, base_method="xla")
+    r, rinv = cholinv.factor(grid122, a, cfg)
+    # diagonal blocks of rinv are exact inverses; the top-level off-diagonal
+    # block is intentionally zero (ref: cholinv.hpp:147-156 skip)
+    n1 = 64
+    ri = np.asarray(rinv)
+    assert np.all(ri[:n1, n1:] == 0)
+    rd = np.asarray(r)
+    np.testing.assert_allclose(
+        np.triu(rd[:n1, :n1]) @ np.triu(ri[:n1, :n1]), np.eye(n1), atol=1e-4
+    )
+
+
+def test_base_case_only(grid122):
+    """n == bc exercises the pure replicated leaf."""
+    n = 64
+    a = _spd(grid122, n, seed=4)
+    cfg = cholinv.Config(min_bc=64, base_method="xla")
+    r, rinv = cholinv.factor(grid122, a, cfg)
+    assert float(validate.cholesky_residual(grid122, a, r)) < 5e-6
+    assert float(validate.inverse_residual(grid122, r, rinv)) < 5e-6

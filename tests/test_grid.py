@@ -1,0 +1,38 @@
+import numpy as np
+import pytest
+
+from capital_tpu.grid import Grid
+
+
+def test_square_shape(grid222):
+    assert grid222.shape == (2, 2, 2)
+    assert grid222.c == 2 and grid222.d == 2
+    assert grid222.num_devices == 8
+    assert grid222.is_square
+
+
+def test_rect_shape(grid_rect):
+    c, d1, d2 = grid_rect.shape
+    assert (c, d2) == (2, 2) and d1 == 2
+    assert not grid_rect.is_square or d1 == d2
+
+
+def test_square_validates(cpus):
+    with pytest.raises(ValueError):
+        Grid.square(c=3, d=2, devices=cpus[:8])
+
+
+def test_layouts_differ(cpus):
+    g0 = Grid.square(c=2, d=2, devices=cpus[:8], layout=0)
+    g1 = Grid.square(c=2, d=2, devices=cpus[:8], layout=1)
+    ids0 = np.vectorize(lambda d: d.id)(g0.mesh.devices)
+    ids1 = np.vectorize(lambda d: d.id)(g1.mesh.devices)
+    assert ids0.shape == ids1.shape == (2, 2, 2)
+    assert not np.array_equal(ids0, ids1)
+
+
+def test_shardings(grid222):
+    from jax.sharding import PartitionSpec as P
+
+    assert grid222.block2d.spec == P("y", "x")
+    assert grid222.row1d.spec == P(("z", "y", "x"), None)

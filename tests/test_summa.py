@@ -1,0 +1,72 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from capital_tpu import matrix
+from capital_tpu.parallel import summa
+
+
+def _pair(grid, m, k, n, seed=0):
+    a = matrix.rand(grid, m, k, jax.random.key(seed)).data
+    b = matrix.rand(grid, k, n, jax.random.key(seed + 1)).data
+    return a, b
+
+
+@pytest.mark.parametrize("gridname", ["grid122", "grid222"])
+def test_gemm_matches_numpy(gridname, request):
+    grid = request.getfixturevalue(gridname)
+    a, b = _pair(grid, 32, 64, 32)
+    out = summa.gemm(grid, a, b)
+    ref = np.asarray(a) @ np.asarray(b)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-4)
+
+
+def test_gemm_alpha_beta(grid222):
+    a, b = _pair(grid222, 32, 32, 32)
+    c = matrix.rand(grid222, 32, 32, jax.random.key(9)).data
+    out = summa.gemm(grid222, a, b, c=c, alpha=2.0, beta=-0.5)
+    ref = 2.0 * (np.asarray(a) @ np.asarray(b)) - 0.5 * np.asarray(c)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-4)
+
+
+def test_gemm_vs_gspmd(grid222):
+    a, b = _pair(grid222, 32, 32, 32, seed=4)
+    out_sm = summa.gemm(grid222, a, b, impl="shard_map")
+    out_gs = summa.gemm(grid222, a, b, impl="gspmd")
+    np.testing.assert_allclose(np.asarray(out_sm), np.asarray(out_gs), atol=1e-4)
+
+
+def test_transpose(grid222):
+    a = matrix.rand(grid222, 32, 64, jax.random.key(3)).data
+    at = summa.transpose(grid222, a)
+    np.testing.assert_array_equal(np.asarray(at), np.asarray(a).T)
+
+
+def test_trmm_left_trans(grid222):
+    a, b = _pair(grid222, 32, 32, 32, seed=6)
+    out = summa.trmm(grid222, a, b, side="L", uplo="U", trans_a=True)
+    ref = np.triu(np.asarray(a)).T @ np.asarray(b)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-4)
+
+
+def test_trmm_right(grid222):
+    a, b = _pair(grid222, 32, 32, 32, seed=8)
+    out = summa.trmm(grid222, b, a, side="R", uplo="U")
+    ref = np.asarray(a) @ np.triu(np.asarray(b))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-4)
+
+
+def test_syrk(grid222):
+    a = matrix.rand(grid222, 64, 32, jax.random.key(5)).data
+    c = matrix.rand(grid222, 32, 32, jax.random.key(6)).data
+    out = summa.syrk(grid222, a, c=c, alpha=-1.0, beta=1.0)
+    ref = np.asarray(c) - np.asarray(a).T @ np.asarray(a)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-4)
+
+
+def test_divisibility_check(grid222):
+    a = jnp.zeros((32, 34))  # k=34 not divisible by d*c=4
+    b = jnp.zeros((34, 32))
+    with pytest.raises(ValueError):
+        summa.gemm(grid222, a, b)
