@@ -1,0 +1,95 @@
+"""Headline benchmark: recursive Cholesky+inverse (cholinv) on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md) — its metric is wall time
+per factor() (ref: bench/cholesky/cholinv.cpp:51-59). The measurable baseline
+here is stock XLA doing the same work (cholesky + triangular solve against I):
+vs_baseline = t_xla / t_ours, so > 1.0 means the framework beats the
+compiler's native lowering on the same chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/capital_tpu_xla")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _force(out):
+    """Fetch one element of each leaf: on tunneled backends block_until_ready
+    can return before execution; a host fetch cannot."""
+    import numpy as np
+
+    for leaf in jax.tree.leaves(out):
+        idx = tuple(slice(0, 1) for _ in leaf.shape)
+        np.asarray(jax.device_get(leaf[idx]))
+
+
+def _time(f, a, iters=5, warmup=2):
+    for _ in range(warmup):
+        out = f(a)
+    _force(out)
+    times = []
+    for i in range(iters):
+        fresh = a * (1.0 + (i + 1) * 1e-7)  # defeat remote result caching
+        _force(fresh)
+        t0 = time.perf_counter()
+        out = f(fresh)
+        _force(out)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main():
+    from capital_tpu.grid import Grid
+    from capital_tpu.algs import cholinv
+
+    n = 8192
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if not on_tpu:
+        n = 2048  # CPU smoke fallback
+
+    grid = Grid.square(c=1, d=1, devices=jax.devices()[:1])
+    u = jax.random.uniform(jax.random.key(0), (n, n), dtype=jnp.float32,
+                           minval=-0.5, maxval=0.5)
+    a = (u + u.T) * 0.5 + n * jnp.eye(n, dtype=jnp.float32)
+    a = jax.device_put(a, jax.devices()[0])
+
+    cfg = cholinv.Config(base_method="auto", summa_impl="gspmd",
+                         complete_inv=True)
+    ours = jax.jit(lambda x: cholinv.factor(grid, x, cfg))
+
+    def xla_ref(x):
+        l = jax.lax.linalg.cholesky(x)
+        linv = jax.lax.linalg.triangular_solve(
+            l, jnp.eye(n, dtype=x.dtype), left_side=True, lower=True)
+        return l.T, linv.T
+
+    xla = jax.jit(xla_ref)
+
+    t_ours = _time(ours, a)
+    t_xla = _time(xla, a)
+
+    # useful flops: n^3/3 (cholesky) + n^3/3 (full triangular inverse)
+    gflops = (2 * n**3 / 3) / t_ours / 1e9
+    print(json.dumps({
+        "metric": f"cholinv_n{n}_gflops_per_chip",
+        "value": round(gflops, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(t_xla / t_ours, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
+from capital_tpu import tracing
+from capital_tpu.ops.precision import dot as _pdot
 from capital_tpu.grid import Grid, ALL_AXES, AXIS_X, AXIS_Y
 from capital_tpu.matrix import DistMatrix
 from capital_tpu.ops import blas, lapack
@@ -80,14 +82,14 @@ def gram_1d(grid: Grid, a, policy: str = "allreduce"):
 
     if policy == "allreduce":
         def kern(a_blk):
-            g = jnp.dot(a_blk.T, a_blk, preferred_element_type=jnp.float32)
+            g = _pdot(a_blk.T, a_blk)
             return lax.psum(g.astype(a_blk.dtype), ALL_AXES)
     elif policy == "two_stage":
         # reduce-scatter over the long mesh dimension, then all-gather:
         # same result, fewer bytes per link on big meshes
         # (ref: two-stage column_contig/column_alt tree, cacqr.hpp:146-149).
         def kern(a_blk):
-            g = jnp.dot(a_blk.T, a_blk, preferred_element_type=jnp.float32)
+            g = _pdot(a_blk.T, a_blk)
             g = g.astype(a_blk.dtype)
             g = lax.psum_scatter(g, ALL_AXES, scatter_dimension=0, tiled=True)
             return lax.all_gather(g, ALL_AXES, axis=0, tiled=True)
@@ -111,10 +113,22 @@ def gram_1d(grid: Grid, a, policy: str = "allreduce"):
 # ---------------------------------------------------------------------------
 
 def _sweep_1d(grid: Grid, a, cfg: Config):
-    g = gram_1d(grid, a, cfg.gram_policy)
-    r, rinv = lapack.chol_inv(g, lower=False, method=cfg.base_method)
-    # Q = A @ Rinv: rinv is replicated, rows of A stay in place — local trmm.
-    q = blas.trmm(rinv, a, side="R", uplo="U")
+    # phase names mirror the reference's -DALGORITHMIC_SYMBOLS regions
+    # (CQR::gram / CQR::formR / CQR::formQ, ref: cacqr.hpp:82-116)
+    m, n = a.shape
+    p = grid.num_devices
+    esz = a.dtype.itemsize
+    with tracing.phase("CQR::gram"):
+        tracing.record("gram_1d", flops=2.0 * m * n * n / p,
+                       comm_bytes=tracing.psum_bytes(n * n * esz, p), msgs=1)
+        g = gram_1d(grid, a, cfg.gram_policy)
+    with tracing.phase("CQR::formR"):
+        tracing.record("chol_inv", flops=2.0 * n**3 / 3.0)
+        r, rinv = lapack.chol_inv(g, lower=False, method=cfg.base_method)
+    with tracing.phase("CQR::formQ"):
+        # Q = A @ Rinv: rinv replicated, rows of A in place — local trmm.
+        tracing.record("trmm_local", flops=2.0 * m * n * n / p)
+        q = blas.trmm(rinv, a, side="R", uplo="U")
     q = grid.constrain(q, P(ALL_AXES, None))
     return q, r
 
@@ -156,13 +170,18 @@ def _solve_2block(grid: Grid, a, r, rinv, n1: int, cfg: Config):
 def _sweep_3d(grid: Grid, a, cfg: Config):
     # Gram = A^T A distributed (ref: bcast+gemm+reduce+bcast, cacqr.hpp:89-99
     # — summa.syrk's gathers/psum are the same tree on mesh axes).
-    g = summa.syrk(grid, a, impl=cfg.chol.summa_impl)
-    r, rinv = _cholinv.factor(grid, g, cfg.chol)
-    if cfg.chol.complete_inv:
-        q = summa.trmm(grid, rinv, a, side="R", uplo="U", impl=cfg.chol.summa_impl)
-    else:
-        n1 = max(cfg.chol.base_dim(grid, g.shape[0]), g.shape[0] >> cfg.chol.split)
-        q = _solve_2block(grid, a, r, rinv, n1, cfg)
+    with tracing.phase("CQR::gram"):
+        g = summa.syrk(grid, a, impl=cfg.chol.summa_impl)
+    with tracing.phase("CQR::chol"):
+        r, rinv = _cholinv.factor(grid, g, cfg.chol)
+    with tracing.phase("CQR::formQ"):
+        if cfg.chol.complete_inv:
+            q = summa.trmm(grid, rinv, a, side="R", uplo="U",
+                           impl=cfg.chol.summa_impl)
+        else:
+            n1 = max(cfg.chol.base_dim(grid, g.shape[0]),
+                     g.shape[0] >> cfg.chol.split)
+            q = _solve_2block(grid, a, r, rinv, n1, cfg)
     return q, r
 
 
@@ -193,17 +212,21 @@ def factor(grid: Grid, a, cfg: Config = Config()):
     return factor_3d(grid, arr, cfg)
 
 
-def apply_q(grid: Grid, q, x, *, trans: bool = False, cfg: Config = Config()):
+def apply_q(grid: Grid, q, x, *, trans: bool = False, cfg: Config = Config(),
+            layout: str = "auto"):
     """Y = Q X (ref: apply_Q summa-GEMM, cacqr.hpp:272-280). apply_QT — which
     the reference left as assert(0) "not implemented" (cacqr.hpp:284) — is
     completed here via the distributed transpose."""
     impl = cfg.chol.summa_impl
-    if q.sharding.spec == P(ALL_AXES, None):
+    if layout == "auto":
+        from capital_tpu.validate import _is_row_sharded
+        layout = "1d" if _is_row_sharded(q) else "2d"
+    if layout == "1d":
         # row-sharded Q: local gemm; Q^T X needs a psum over rows.
         if not trans:
             return blas.gemm(q, x)
         def kern(q_blk, x_blk):
-            part = jnp.dot(q_blk.T, x_blk, preferred_element_type=jnp.float32)
+            part = _pdot(q_blk.T, x_blk)
             return lax.psum(part.astype(q_blk.dtype), ALL_AXES)
         f = jax.shard_map(kern, mesh=grid.mesh,
                           in_specs=(P(ALL_AXES, None), P(ALL_AXES, None)),

@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from capital_tpu import tracing
 from capital_tpu.grid import Grid, AXIS_X, AXIS_Y
 from capital_tpu.matrix import DistMatrix, Structure
 from capital_tpu.ops import lapack
@@ -104,7 +105,20 @@ def _base_case(grid: Grid, a, cfg: Config):
 
 def _rec(grid: Grid, a, n: int, bc: int, cfg: Config, top: bool):
     if n <= bc:
-        return _base_case(grid, a, cfg)
+        # phase names mirror the reference's -DALGORITHMIC_SYMBOLS regions
+        # (CI::factor_diag / CI::trsm / CI::tmu, ref: cholinv.hpp:94-136)
+        with tracing.phase("CI::factor_diag"):
+            esz = a.dtype.itemsize
+            tracing.record(
+                "base_case",
+                flops=2.0 * n**3 / 3.0,  # replicated potrf+trtri on every chip
+                comm_bytes=tracing.all_gather_bytes(
+                    n * n * esz / max(grid.d1 * grid.d2, 1),
+                    grid.d1 * grid.d2,
+                ),
+                msgs=1,
+            )
+            return _base_case(grid, a, cfg)
 
     n1 = max(bc, n >> cfg.split)
     n2 = n - n1
@@ -121,11 +135,14 @@ def _rec(grid: Grid, a, n: int, bc: int, cfg: Config, top: bool):
 
     # TRSM step: R12 = R11^{-T} A12 (ref: cholinv.hpp:116-123 — transpose of
     # R11inv + summa TRMM).
-    r12 = summa.trmm(grid, r11inv, a12, side="L", uplo="U", trans_a=True,
-                     impl=cfg.summa_impl)
+    with tracing.phase("CI::trsm"):
+        r12 = summa.trmm(grid, r11inv, a12, side="L", uplo="U", trans_a=True,
+                         impl=cfg.summa_impl)
 
     # Schur update: S = A22 - R12^T R12 (ref: cholinv.hpp:131-134).
-    s = summa.syrk(grid, r12, c=a22, alpha=-1.0, beta=1.0, impl=cfg.summa_impl)
+    with tracing.phase("CI::tmu"):
+        s = summa.syrk(grid, r12, c=a22, alpha=-1.0, beta=1.0,
+                       impl=cfg.summa_impl)
 
     r22, r22inv = rec(grid, s, n2, bc, cfg, False)
 
@@ -135,9 +152,11 @@ def _rec(grid: Grid, a, n: int, bc: int, cfg: Config, top: bool):
 
     if cfg.complete_inv or not top:
         # R12inv = -R11inv @ R12 @ R22inv (ref: cholinv.hpp:147-156).
-        t = summa.trmm(grid, r22inv, r12, side="R", uplo="U", impl=cfg.summa_impl)
-        r12inv = summa.trmm(grid, r11inv, t, side="L", uplo="U", alpha=-1.0,
-                            impl=cfg.summa_impl)
+        with tracing.phase("CI::inv"):
+            t = summa.trmm(grid, r22inv, r12, side="R", uplo="U",
+                           impl=cfg.summa_impl)
+            r12inv = summa.trmm(grid, r11inv, t, side="L", uplo="U",
+                                alpha=-1.0, impl=cfg.summa_impl)
     else:
         r12inv = jnp.zeros_like(r12)
     rinv = jnp.block([[r11inv, r12inv], [zeros, r22inv]])

@@ -1,0 +1,108 @@
+"""CholeskyQR/CholeskyQR2 bench driver (ref: bench/qr/cacqr.cpp:8-77).
+
+Reference argv: variant (1=cacqr, 2=cacqr2), m, n, rep_factor sweep range,
+complete_inv, split, bcMultiplier sweep, layout, num_chunks, num_iter.
+The rep_factor sweep (grid aspect) maps to --c; the in-process sweep moved
+to the autotuner (capital_tpu/autotune/).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from capital_tpu import matrix, tracing, validate
+from capital_tpu.algs import cacqr, cholinv
+from capital_tpu.bench.common import base_parser, report, timed_loop
+from capital_tpu.grid import Grid
+
+
+def main(argv=None):
+    p = base_parser("communication-avoiding CholeskyQR2 (tall-skinny QR)")
+    p.add_argument("--m", type=int, default=1 << 20)
+    p.add_argument("--n", type=int, default=1024)
+    p.add_argument("--variant", type=int, default=2,
+                   help="1 = CholeskyQR, 2 = CholeskyQR2 (ref: argv variant)")
+    p.add_argument("--gram-policy", default="allreduce",
+                   choices=["allreduce", "two_stage"])
+    p.add_argument("--path", default="auto", choices=["auto", "1d", "3d"])
+    p.add_argument("--base-method", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    args = p.parse_args(argv)
+
+    grid = Grid.rect(c=args.c, layout=args.layout) if args.c > 1 else \
+        Grid.square(c=1, d=1, devices=jax.devices()[:1]) if len(jax.devices()) == 1 else \
+        Grid.rect(c=1, layout=args.layout)
+
+    dtype = jnp.dtype(args.dtype)
+    a = matrix.tall_skinny(grid, args.m, args.n, jax.random.key(0), dtype=dtype)
+
+    cfg = cacqr.Config(num_iter=args.variant, gram_policy=args.gram_policy,
+                       base_method=args.base_method,
+                       chol=cholinv.Config(base_method=args.base_method))
+
+    # donate the input: A is dead once the first sweep's Q is formed, and the
+    # matrix is regenerated from its seed on demand anyway (the reference
+    # re-distributes before every timed iteration, ref: bench/qr/cacqr.cpp:43,47)
+    if args.path == "3d":
+        fn = jax.jit(lambda x: cacqr.factor_3d(grid, x, cfg), donate_argnums=0)
+        layout = "2d"
+    else:
+        fn = jax.jit(lambda x: cacqr.factor_1d(grid, x, cfg), donate_argnums=0)
+        layout = "1d"
+
+    with tracing.trace() as t:
+        jax.eval_shape(fn, a.data)
+
+    def regen():
+        return matrix.tall_skinny(grid, args.m, args.n, jax.random.key(0),
+                                  dtype=dtype).data
+
+    import time as _time
+
+    from capital_tpu.bench.common import force
+
+    # warmup (consumes a)
+    q, r = fn(a.data)
+    force((q, r))
+    times = []
+    for i in range(args.num_iter):
+        x = regen() * (1.0 + (i + 1) * 1e-7)  # fresh values each iter
+        force(x)
+        del q, r
+        t0 = _time.perf_counter()
+        q, r = fn(x)
+        force((q, r))
+        times.append(_time.perf_counter() - t0)
+    secs = min(times)
+    if args.profile_dir:
+        with tracing.profile(args.profile_dir):
+            x = regen()
+            force(x)
+            qp, rp = fn(x)
+            force((qp, rp))
+            del qp, rp
+
+    m, n = q.shape
+    sweeps = args.variant
+    flops = sweeps * (4 * m * n * n + 2 * n**3 / 3)  # gram + formQ + chol
+    extra = {"m": args.m, "n": args.n, "variant": args.variant,
+             "grid": grid.shape}
+    if not args.no_validate:
+        # jitted so the 4-GB-scale temporaries fuse instead of materializing
+        extra["orthogonality"] = float(jax.jit(
+            lambda qq: validate.qr_orthogonality(grid, qq, layout=layout))(q))
+        # the original A was donated; regenerate from seed for the residual
+        extra["residual"] = float(jax.jit(
+            lambda aa, qq, rr: validate.qr_residual(grid, aa, qq, rr,
+                                                    layout=layout),
+            donate_argnums=0)(regen(), q, r))
+    rec = report("cacqr", secs=secs, flops=flops, extra=extra,
+                 as_json=args.json)
+    if args.costs:
+        print(t.report())
+    return rec
+
+
+if __name__ == "__main__":
+    main()

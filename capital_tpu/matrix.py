@@ -158,6 +158,7 @@ def symmetric(
     dtype=jnp.float32,
     diag_shift: float | None = None,
     spec: P | None = None,
+    align: int = 1,
 ) -> DistMatrix:
     """Symmetric positive-definite test matrix: (U + U^T)/2 + shift*I with
     shift defaulting to n for diagonal dominance (ref: distribute_symmetric,
@@ -165,7 +166,11 @@ def symmetric(
     diagonal). Pad region carries an identity diagonal so Cholesky of the
     padded matrix is well-posed."""
     spec = spec if spec is not None else P(AXIS_Y, AXIS_X)
-    pn = _pad_up(n, grid.d1 if grid.is_square else grid.num_devices)
+    # align > 1 pads per-device blocks to MXU tiles (128) so base-case
+    # kernels never see ragged shapes; the pad region is an inert identity
+    # block (chol(blkdiag(A, I)) = blkdiag(chol(A), I))
+    tile = align * (grid.d1 if grid.is_square else grid.num_devices)
+    pn = _pad_up(n, tile)
     shift = float(n) if diag_shift is None else float(diag_shift)
 
     def gen():

@@ -19,13 +19,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from capital_tpu.ops.precision import dot as _pdot
+
 
 def _acc_dtype(x):
     return jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16, jnp.float32) else x.dtype
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=_acc_dtype(a)).astype(a.dtype)
+    return _pdot(a, b, preferred_element_type=_acc_dtype(a)).astype(a.dtype)
 
 
 def gemm(a, b, *, c=None, alpha=1.0, beta=0.0, trans_a=False, trans_b=False):

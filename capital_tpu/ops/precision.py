@@ -1,0 +1,47 @@
+"""Matmul precision policy.
+
+On TPU, f32 matmuls run through bf16 MXU passes by default (DEFAULT
+precision = 1 pass), silently costing ~1e-4-level relative error — fatal for
+a dense linear-algebra library whose acceptance criteria are 1e-5-level
+residuals (the reference gets full fp64 from MKL unconditionally;
+ref: src/blas/interface.hpp:43-97). Policy here:
+
+  * default = HIGHEST (6-pass f32-faithful MXU) for every dot in the
+    framework,
+  * an explicit `jax.default_matmul_precision(...)` context from the user
+    wins (so bf16/throughput runs are one `with` block away).
+
+All framework dots go through `dot()` / the `prec()` helper below.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def prec() -> lax.Precision:
+    """Active precision: user's explicit jax.default_matmul_precision if set,
+    else HIGHEST."""
+    v = jax.config.jax_default_matmul_precision
+    if v is None:
+        return lax.Precision.HIGHEST
+    return v
+
+
+def dot(a, b, preferred_element_type=jnp.float32, precision=None):
+    return jnp.dot(
+        a, b,
+        preferred_element_type=preferred_element_type,
+        precision=precision if precision is not None else prec(),
+    )
+
+
+def dot_general(a, b, dimension_numbers, preferred_element_type=jnp.float32,
+                precision=None):
+    return lax.dot_general(
+        a, b, dimension_numbers,
+        preferred_element_type=preferred_element_type,
+        precision=precision if precision is not None else prec(),
+    )

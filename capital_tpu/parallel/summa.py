@@ -42,6 +42,27 @@ from jax.sharding import PartitionSpec as P
 
 from capital_tpu.grid import Grid, AXIS_X, AXIS_Y, AXIS_Z
 from capital_tpu.matrix import Structure, apply_structure
+from capital_tpu import tracing
+from capital_tpu.ops.precision import dot as _pdot
+
+
+def _record_gemm_cost(grid: Grid, a, b):
+    """Analytic per-device cost of one 2.5D gemm (tracing.py, critter analog):
+    2mnk/(d^2 c) MXU flops; two all_gathers of the K panels + one psum over
+    depth. Only active inside tracing.trace()."""
+    if tracing.active() is None:
+        return
+    d, c = grid.d1, grid.c
+    m, k = a.shape
+    n = b.shape[1]
+    esz = a.dtype.itemsize
+    flops = 2.0 * m * n * k / (d * d * c)
+    comm = (
+        tracing.all_gather_bytes(m * k * esz / (d * d * c), grid.d2)
+        + tracing.all_gather_bytes(k * n * esz / (d * d * c), d)
+        + tracing.psum_bytes(m * n * esz / (d * d), c)
+    )
+    tracing.record("summa.gemm", flops=flops, comm_bytes=comm, msgs=3)
 
 
 def _check_divisible(grid: Grid, a, b):
@@ -68,7 +89,7 @@ def _summa_kernel(a_blk, b_blk):
     b_sub = lax.dynamic_slice_in_dim(b_blk, z * kc_b, kc_b, 0)
     a_k = lax.all_gather(a_sub, AXIS_X, axis=1, tiled=True)  # (mb, k/c)
     b_k = lax.all_gather(b_sub, AXIS_Y, axis=0, tiled=True)  # (k/c, nb)
-    part = jnp.dot(a_k, b_k, preferred_element_type=jnp.float32)
+    part = _pdot(a_k, b_k)
     return lax.psum(part, AXIS_Z).astype(a_blk.dtype)
 
 
@@ -78,8 +99,9 @@ def gemm(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
     alpha/beta are applied as a fused elementwise epilogue on the already
     block-aligned output (the reference's save/restore AXPY, summa.hpp:27-35).
     """
+    _record_gemm_cost(grid, a, b)
     if impl == "gspmd":
-        out = jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
+        out = _pdot(a, b).astype(a.dtype)
         out = grid.constrain(out, P(AXIS_Y, AXIS_X))
     else:
         _check_divisible(grid, a, b)
@@ -102,6 +124,13 @@ def transpose(grid: Grid, a, impl="shard_map"):
     transposed partner, then transposes locally (ref: util::transpose,
     util.hpp:232-247 — pairwise MPI_Sendrecv_replace). Here the pairwise
     exchange is one lax.ppermute over the joint ('y','x') axis."""
+    tracing.record(
+        "summa.transpose",
+        comm_bytes=tracing.ppermute_bytes(
+            a.size * a.dtype.itemsize / max(grid.d1 * grid.d2, 1)
+        ),
+        msgs=1,
+    )
     if impl == "gspmd":
         return grid.constrain(a.T, P(AXIS_Y, AXIS_X))
     d = grid.d

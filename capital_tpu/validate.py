@@ -39,14 +39,31 @@ def inverse_residual(grid: Grid, r, rinv, impl: str = "shard_map") -> jax.Array:
     return _fro(prod - eye) / jnp.sqrt(jnp.float32(n))
 
 
-def qr_orthogonality(grid: Grid, q, impl: str = "shard_map") -> jax.Array:
-    """||Q^T Q - I||_F / sqrt(n) (ref: qr::validate::orthogonality,
-    test/qr/validate.hpp:7-32)."""
+def _is_row_sharded(q) -> bool:
+    """True if q uses the full-mesh row-sharded (tall-skinny / 1D) layout.
+
+    Only consulted OUTSIDE jit (tracers carry no committed sharding); jitted
+    callers pass layout= explicitly."""
     from jax.sharding import PartitionSpec as P
     from capital_tpu.grid import ALL_AXES
+
+    try:
+        return q.sharding.spec == P(ALL_AXES, None)
+    except AttributeError as exc:  # tracer: caller must disambiguate
+        raise ValueError(
+            "layout='auto' cannot inspect sharding under jit; pass "
+            "layout='1d' (row-sharded) or layout='2d' (block-sharded)"
+        ) from exc
+
+
+def qr_orthogonality(grid: Grid, q, impl: str = "shard_map", layout: str = "auto") -> jax.Array:
+    """||Q^T Q - I||_F / sqrt(n) (ref: qr::validate::orthogonality,
+    test/qr/validate.hpp:7-32)."""
     from capital_tpu.algs.cacqr import gram_1d
 
-    if q.sharding.spec == P(ALL_AXES, None):
+    if layout == "auto":
+        layout = "1d" if _is_row_sharded(q) else "2d"
+    if layout == "1d":
         g = gram_1d(grid, q)
     else:
         g = summa.syrk(grid, q, impl=impl)
@@ -54,14 +71,14 @@ def qr_orthogonality(grid: Grid, q, impl: str = "shard_map") -> jax.Array:
     return _fro(g - jnp.eye(n, dtype=g.dtype)) / jnp.sqrt(jnp.float32(n))
 
 
-def qr_residual(grid: Grid, a, q, r, impl: str = "shard_map") -> jax.Array:
+def qr_residual(grid: Grid, a, q, r, impl: str = "shard_map", layout: str = "auto") -> jax.Array:
     """||Q R - A||_F / ||A||_F (ref: qr::validate::residual,
     test/qr/validate.hpp:34-52)."""
-    from jax.sharding import PartitionSpec as P
-    from capital_tpu.grid import ALL_AXES
     from capital_tpu.ops import blas
 
-    if q.sharding.spec == P(ALL_AXES, None):
+    if layout == "auto":
+        layout = "1d" if _is_row_sharded(q) else "2d"
+    if layout == "1d":
         qr = blas.trmm(jnp.triu(r), q, side="R", uplo="U")
     else:
         qr = summa.trmm(grid, jnp.triu(r), q, side="R", uplo="U", impl=impl)
