@@ -55,7 +55,7 @@ def main():
     from capital_tpu.grid import Grid
     from capital_tpu.algs import cholinv
 
-    n = 8192
+    n = 16384
     on_tpu = jax.default_backend() not in ("cpu",)
     if not on_tpu:
         n = 2048  # CPU smoke fallback
@@ -70,16 +70,30 @@ def main():
                          complete_inv=True)
     ours = jax.jit(lambda x: cholinv.factor(grid, x, cfg))
 
-    def xla_ref(x):
-        l = jax.lax.linalg.cholesky(x)
-        linv = jax.lax.linalg.triangular_solve(
-            l, jnp.eye(n, dtype=x.dtype), left_side=True, lower=True)
-        return l.T, linv.T
-
-    xla = jax.jit(xla_ref)
+    def make_xla_ref(nn):
+        def xla_ref(x):
+            l = jax.lax.linalg.cholesky(x)
+            linv = jax.lax.linalg.triangular_solve(
+                l, jnp.eye(nn, dtype=x.dtype), left_side=True, lower=True)
+            return l.T, linv.T
+        return jax.jit(xla_ref)
 
     t_ours = _time(ours, a)
-    t_xla = _time(xla, a)
+
+    # Baseline = stock XLA (cholesky + triangular_solve). At n=16384 its
+    # triangular-solve expansion OOMs 16-GB HBM, so fall back to the largest
+    # size it can run and scale by the n^3 flop ratio (generous to the
+    # baseline: its efficiency only improves with n).
+    nb = n
+    t_xla = None
+    while nb >= 2048:
+        try:
+            t_xla = _time(make_xla_ref(nb), a[:nb, :nb]) * (n / nb) ** 3
+            break
+        except Exception:
+            nb //= 2
+    if t_xla is None:
+        t_xla = float("inf")
 
     # useful flops: n^3/3 (cholesky) + n^3/3 (full triangular inverse)
     gflops = (2 * n**3 / 3) / t_ours / 1e9

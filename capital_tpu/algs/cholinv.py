@@ -83,7 +83,9 @@ class Config:
     base_policy: BasePolicy = BasePolicy.REPLICATED
     summa_impl: str = "shard_map"
     remat: bool = False
-    min_bc: int = 128
+    # autotuned single-chip default (autotune_cholinv_wide sweep, n=8192):
+    # bc 512-1024 beats 128 by ~1.5x; the pallas leaf covers up to 1024
+    min_bc: int = 512
 
     def base_dim(self, grid: Grid, n: int) -> int:
         bc = max(self.min_bc, grid.d * grid.c) << self.bc_mult
@@ -103,12 +105,21 @@ def _base_case(grid: Grid, a, cfg: Config):
     return r, rinv
 
 
-def _rec(grid: Grid, a, n: int, bc: int, cfg: Config, top: bool):
+def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
+    """Workspace-style recursion: (W, R, Rinv) are three full-size buffers
+    threaded through the whole recursion; each step reads static slices and
+    writes blocks back with dynamic_update_slice, which XLA aliases in place.
+    This mirrors the reference's in-place overwrite of A (the matrix IS the
+    workspace, ref: cholinv.hpp:87-165) and keeps peak memory at ~3 n^2
+    instead of O(depth * n^2) from per-level block re-assembly."""
+    w, r, ri = carry
+    end = off + n
+
     if n <= bc:
         # phase names mirror the reference's -DALGORITHMIC_SYMBOLS regions
         # (CI::factor_diag / CI::trsm / CI::tmu, ref: cholinv.hpp:94-136)
         with tracing.phase("CI::factor_diag"):
-            esz = a.dtype.itemsize
+            esz = w.dtype.itemsize
             tracing.record(
                 "base_case",
                 flops=2.0 * n**3 / 3.0,  # replicated potrf+trtri on every chip
@@ -118,50 +129,52 @@ def _rec(grid: Grid, a, n: int, bc: int, cfg: Config, top: bool):
                 ),
                 msgs=1,
             )
-            return _base_case(grid, a, cfg)
+            blk = jax.lax.slice(w, (off, off), (end, end))
+            rb, rib = _base_case(grid, blk, cfg)
+            r = jax.lax.dynamic_update_slice(r, rb, (off, off))
+            ri = jax.lax.dynamic_update_slice(ri, rib, (off, off))
+            return w, r, ri
 
     n1 = max(bc, n >> cfg.split)
     n2 = n - n1
-
-    a11 = jax.lax.slice(a, (0, 0), (n1, n1))
-    a12 = jax.lax.slice(a, (0, n1), (n1, n))
-    a22 = jax.lax.slice(a, (n1, n1), (n, n))
+    mid = off + n1
 
     rec = _rec
     if cfg.remat:
-        rec = jax.checkpoint(_rec, static_argnums=(2, 3, 5))
+        rec = jax.checkpoint(_rec, static_argnums=(2, 3, 4, 6))
 
-    r11, r11inv = rec(grid, a11, n1, bc, cfg, False)
+    w, r, ri = rec(grid, (w, r, ri), off, n1, bc, cfg, False)
+
+    r11inv = jax.lax.slice(ri, (off, off), (mid, mid))
+    a12 = jax.lax.slice(w, (off, mid), (mid, end))
 
     # TRSM step: R12 = R11^{-T} A12 (ref: cholinv.hpp:116-123 — transpose of
     # R11inv + summa TRMM).
     with tracing.phase("CI::trsm"):
         r12 = summa.trmm(grid, r11inv, a12, side="L", uplo="U", trans_a=True,
                          impl=cfg.summa_impl)
+    r = jax.lax.dynamic_update_slice(r, r12, (off, mid))
 
-    # Schur update: S = A22 - R12^T R12 (ref: cholinv.hpp:131-134).
+    # Schur update: A22 <- A22 - R12^T R12 in the workspace
+    # (ref: cholinv.hpp:131-134).
     with tracing.phase("CI::tmu"):
+        a22 = jax.lax.slice(w, (mid, mid), (end, end))
         s = summa.syrk(grid, r12, c=a22, alpha=-1.0, beta=1.0,
                        impl=cfg.summa_impl)
+    w = jax.lax.dynamic_update_slice(w, s, (mid, mid))
 
-    r22, r22inv = rec(grid, s, n2, bc, cfg, False)
-
-    zeros = jnp.zeros((n2, n1), dtype=a.dtype)
-    r = jnp.block([[r11, r12], [zeros, r22]])
-    r = grid.constrain(r, P(AXIS_Y, AXIS_X))
+    w, r, ri = rec(grid, (w, r, ri), mid, n2, bc, cfg, False)
 
     if cfg.complete_inv or not top:
         # R12inv = -R11inv @ R12 @ R22inv (ref: cholinv.hpp:147-156).
         with tracing.phase("CI::inv"):
+            r22inv = jax.lax.slice(ri, (mid, mid), (end, end))
             t = summa.trmm(grid, r22inv, r12, side="R", uplo="U",
                            impl=cfg.summa_impl)
             r12inv = summa.trmm(grid, r11inv, t, side="L", uplo="U",
                                 alpha=-1.0, impl=cfg.summa_impl)
-    else:
-        r12inv = jnp.zeros_like(r12)
-    rinv = jnp.block([[r11inv, r12inv], [zeros, r22inv]])
-    rinv = grid.constrain(rinv, P(AXIS_Y, AXIS_X))
-    return r, rinv
+        ri = jax.lax.dynamic_update_slice(ri, r12inv, (off, mid))
+    return w, r, ri
 
 
 def factor(grid: Grid, a, cfg: Config = Config()):
@@ -178,7 +191,10 @@ def factor(grid: Grid, a, cfg: Config = Config()):
         arr = a
     n = arr.shape[0]
     bc = cfg.base_dim(grid, n)
-    r, rinv = _rec(grid, arr, n, bc, cfg, True)
+    zeros = grid.constrain(jnp.zeros_like(arr), P(AXIS_Y, AXIS_X))
+    _, r, rinv = _rec(grid, (arr, zeros, zeros), 0, n, bc, cfg, True)
+    r = grid.constrain(r, P(AXIS_Y, AXIS_X))
+    rinv = grid.constrain(rinv, P(AXIS_Y, AXIS_X))
     return r, rinv
 
 

@@ -1,0 +1,195 @@
+"""Config-space sweep harness (the reference's autotune/ + critter analog).
+
+The reference sweeps (base-case policy x bcMultiplier x grid aspect) under
+critter instrumentation, recording critical-path / per-process / volumetric
+cost vectors to text tables (ref: autotune/cholesky/cholinv/tune.cpp:175-253,
+autotune/util.h:4-127). Here each candidate config is:
+
+  1. traced once to collect the ANALYTIC cost vector (tracing.Tracer — the
+     decomposition-mode critter run, ref: tune.cpp:72-78),
+  2. run + timed on hardware (the uninstrumented reference run,
+     ref: tune.cpp:33-41),
+
+and the sweep emits (a) the same style of whitespace table, (b) a JSON
+records list, (c) the argmin-by-measured-time candidate.
+
+Search axes mirror the reference's knobs: bc_mult (bcMultiplier), split,
+complete_inv, base method (base-case policy analog), summa impl, mesh depth
+c (rep_factor / grid-aspect analog), gram policy + variant for QR.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from capital_tpu import tracing
+from capital_tpu.grid import Grid
+
+
+@dataclass
+class Candidate:
+    params: dict
+    time_s: float = float("inf")
+    costs: dict = field(default_factory=dict)
+    model_time_s: float = 0.0
+    error: str | None = None
+
+    def record(self):
+        return {"params": self.params, "time_s": self.time_s,
+                "model_time_s": self.model_time_s, **self.costs,
+                **({"error": self.error} if self.error else {})}
+
+
+def _measure(make_fn, args, num_iter: int) -> float:
+    from capital_tpu.bench.common import force, _perturb
+
+    fn = make_fn()
+    out = fn(*args)
+    force(out)
+    best = float("inf")
+    for i in range(num_iter):
+        fresh = _perturb(args, i)
+        force(fresh)
+        t0 = time.perf_counter()
+        out = fn(*fresh)
+        force(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _trace_costs(fn, args) -> tuple[dict, float]:
+    with tracing.trace() as t:
+        jax.eval_shape(fn, *args)
+    tot = t.totals()
+    costs = {"gflop": tot.flops / 1e9, "ici_mib": tot.comm_bytes / 2**20,
+             "msgs": tot.msgs}
+    # roofline cost model: v5e-class chip, f32-faithful MXU + 1 ICI ring
+    model = t.model_time(flops_per_s=3.3e13, ici_bytes_per_s=9e10)
+    return costs, model
+
+
+def sweep_cholinv(grid: Grid, a, space: dict | None = None,
+                  num_iter: int = 2) -> list[Candidate]:
+    """Sweep cholinv configs on a fixed grid + matrix.
+
+    space keys (each a list): bc_mult, split, complete_inv, base_method,
+    summa_impl (ref axes: bcMultiplier sweep at tune.cpp:239-253 and the 3
+    base-case policy variants at tune.cpp:175-177)."""
+    from capital_tpu.algs import cholinv
+
+    space = space or {
+        "bc_mult": [0, 1, 2],
+        "split": [1],
+        "complete_inv": [True],
+        "base_method": ["auto"],
+        "summa_impl": ["gspmd"] if grid.num_devices == 1 else ["shard_map"],
+    }
+    out = []
+    keys = list(space)
+    for vals in itertools.product(*(space[k] for k in keys)):
+        params = dict(zip(keys, vals))
+        cand = Candidate(params=params)
+        try:
+            cfg = cholinv.Config(**params)
+            fn = jax.jit(lambda x, cfg=cfg: cholinv.factor(grid, x, cfg))
+            cand.costs, cand.model_time_s = _trace_costs(fn, (a,))
+            cand.time_s = _measure(lambda: fn, (a,), num_iter)
+        except Exception as e:  # config invalid for this shape: record, move on
+            cand.error = f"{type(e).__name__}: {e}"
+        out.append(cand)
+    return out
+
+
+def sweep_cacqr(grid: Grid, a, space: dict | None = None,
+                num_iter: int = 2) -> list[Candidate]:
+    """Sweep CholeskyQR configs (ref: QR tune sweeps grid aspect ratios +
+    bcMultiplier, autotune/qr/cacqr/tune.cpp:84-89)."""
+    from capital_tpu.algs import cacqr, cholinv
+
+    space = space or {
+        "num_iter": [1, 2],
+        "gram_policy": ["allreduce", "two_stage"],
+        "base_method": ["auto"],
+    }
+    out = []
+    keys = list(space)
+    for vals in itertools.product(*(space[k] for k in keys)):
+        params = dict(zip(keys, vals))
+        cand = Candidate(params=params)
+        try:
+            cfg = cacqr.Config(**params)
+            fn = jax.jit(lambda x, cfg=cfg: cacqr.factor_1d(grid, x, cfg))
+            cand.costs, cand.model_time_s = _trace_costs(fn, (a,))
+            cand.time_s = _measure(lambda: fn, (a,), num_iter)
+        except Exception as e:
+            cand.error = f"{type(e).__name__}: {e}"
+        out.append(cand)
+    return out
+
+
+def best(cands: Sequence[Candidate]) -> Candidate:
+    return min(cands, key=lambda c: c.time_s)
+
+
+def write_tables(cands: Sequence[Candidate], prefix: str):
+    """Emit the reference-style report files: <prefix>_cp_times.txt (config
+    vs measured/model times) and <prefix>_cp_costs.txt (config vs analytic
+    cost vector) + <prefix>.jsonl (ref: autotune/util.h:4-61 table layout,
+    *_cp_times / *_cp_costs naming at tune.cpp:208-217)."""
+    keys = sorted({k for c in cands for k in c.params})
+    with open(f"{prefix}_cp_times.txt", "w") as f:
+        f.write("  ".join(f"{k:>12}" for k in keys)
+                + f"  {'time_s':>12}  {'model_s':>12}\n")
+        for c in cands:
+            f.write("  ".join(f"{str(c.params.get(k, '-')):>12}" for k in keys)
+                    + f"  {c.time_s:>12.6f}  {c.model_time_s:>12.6f}\n")
+    with open(f"{prefix}_cp_costs.txt", "w") as f:
+        f.write("  ".join(f"{k:>12}" for k in keys)
+                + f"  {'GFLOP':>12}  {'ICI_MiB':>12}  {'msgs':>8}\n")
+        for c in cands:
+            f.write("  ".join(f"{str(c.params.get(k, '-')):>12}" for k in keys)
+                    + f"  {c.costs.get('gflop', 0):>12.3f}"
+                    + f"  {c.costs.get('ici_mib', 0):>12.3f}"
+                    + f"  {c.costs.get('msgs', 0):>8}\n")
+    with open(f"{prefix}.jsonl", "w") as f:
+        for c in cands:
+            f.write(json.dumps(c.record()) + "\n")
+
+
+def main(argv=None):
+    import argparse
+
+    from capital_tpu import matrix
+
+    p = argparse.ArgumentParser(description="autotune cholinv / cacqr")
+    p.add_argument("--alg", default="cholinv", choices=["cholinv", "cacqr"])
+    p.add_argument("--n", type=int, default=4096)
+    p.add_argument("--m", type=int, default=1 << 18)
+    p.add_argument("--num-iter", type=int, default=2)
+    p.add_argument("--prefix", default=None)
+    args = p.parse_args(argv)
+
+    grid = Grid.square(c=1, d=1, devices=jax.devices()[:1])
+    if args.alg == "cholinv":
+        a = matrix.symmetric(grid, args.n, jax.random.key(0), align=128).data
+        cands = sweep_cholinv(grid, a, num_iter=args.num_iter)
+    else:
+        a = matrix.tall_skinny(grid, args.m, args.n, jax.random.key(0)).data
+        cands = sweep_cacqr(grid, a, num_iter=args.num_iter)
+
+    prefix = args.prefix or f"autotune_{args.alg}"
+    write_tables(cands, prefix)
+    b = best(cands)
+    print(json.dumps({"best": b.params, "time_s": b.time_s}))
+    return cands
+
+
+if __name__ == "__main__":
+    main()

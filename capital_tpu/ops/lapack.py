@@ -57,10 +57,10 @@ def chol_inv(a: jax.Array, lower: bool = False, method: str = "auto"):
         method = os.environ.get("CAPITAL_CHOL_METHOD") or (
             "pallas" if _on_tpu(a) else "xla"
         )
-        # the Pallas kernel needs 128-aligned blocks in VMEM (<= ~1.5k per
-        # side); ragged or huge blocks fall back to the XLA expansion
+        # the Pallas kernel holds 4 n^2 f32 buffers in VMEM (16 MB): n=1024
+        # is the ceiling; ragged or bigger blocks fall back to XLA
         n = a.shape[-1]
-        if method == "pallas" and (n % 128 or n > 2048):
+        if method == "pallas" and (n % 128 or n > 1024):
             method = "xla"
     if method == "xla":
         return chol_inv_xla(a, lower=lower)
