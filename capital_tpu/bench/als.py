@@ -1,0 +1,69 @@
+"""ALS recommender bench driver (BASELINE.json config: "ALS matrix-
+factorization recommender ... via batched normal-equation Cholesky solves").
+
+MovieLens-25M-scale defaults (162k users x 59k items is the real dataset;
+the synthetic generator plants a low-rank model at the same aspect). In the
+zero-egress environment data is synthetic; pass --users/--items to scale.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from capital_tpu import tracing
+from capital_tpu.apps import als
+from capital_tpu.bench.common import base_parser, force, report
+from capital_tpu.grid import Grid
+
+
+def main(argv=None):
+    p = base_parser("ALS recommender (batched normal-equation Cholesky)")
+    p.add_argument("--users", type=int, default=65536)
+    p.add_argument("--items", type=int, default=8192)
+    p.add_argument("--rank", type=int, default=64)
+    p.add_argument("--density", type=float, default=0.05)
+    p.add_argument("--iters", type=int, default=5)
+    args = p.parse_args(argv)
+
+    grid = Grid.rect(c=args.c) if args.c > 1 else Grid.square(
+        c=1, d=1, devices=jax.devices()[:1])
+
+    dtype = jnp.dtype(args.dtype)
+    r, m = als.synthetic_ratings(grid, args.users, args.items,
+                                 jax.random.key(0), rank=16,
+                                 density=args.density, dtype=dtype)
+    cfg = als.Config(rank=args.rank, lam=0.05, num_iters=args.iters)
+    fn = jax.jit(lambda rr, mm: als.fit(grid, rr, mm, cfg))
+
+    with tracing.trace() as t:
+        jax.eval_shape(fn, r, m)
+
+    import time
+    out = fn(r, m)
+    force(out)
+    times = []
+    for i in range(args.num_iter):
+        rr = r * (1.0 + (i + 1) * 1e-7)
+        force(rr)
+        t0 = time.perf_counter()
+        out = fn(rr, m)
+        force(out)
+        times.append(time.perf_counter() - t0)
+    secs = min(times)
+    u, v, err = out
+
+    users, items, k = args.users, args.items, args.rank
+    # dominant flops per ALS iter: user gramians 2*U*I*k^2-ish masked einsum
+    flops = args.iters * (2.0 * users * items * k * 2 + users * k**3 / 3
+                          + items * k**3 / 3)
+    extra = {"users": users, "items": items, "rank": k,
+             "iters": args.iters, "rmse": float(err), "grid": grid.shape}
+    rec = report("als", secs=secs, flops=flops, extra=extra, as_json=args.json)
+    if args.costs:
+        print(t.report())
+    return rec
+
+
+if __name__ == "__main__":
+    main()

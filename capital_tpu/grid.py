@@ -109,12 +109,23 @@ class Grid:
     @classmethod
     def _build(cls, devs: list, shape: tuple[int, int, int], layout: int) -> "Grid":
         arr = np.asarray(devs)
+        c, d1, d2 = shape
         if layout == 0:
             arr = arr.reshape(shape)
         elif layout == 1:
             # z-innermost: consecutive devices stack along depth.
-            c, d1, d2 = shape
             arr = arr.reshape(d1, d2, c).transpose(2, 0, 1)
+        elif layout == 2:
+            # sub-block locality: consecutive devices fill 2x2 tiles of the
+            # slice before moving on, keeping neighbor blocks on physically
+            # adjacent chips (the reference's 64-rank subcube blocking for
+            # network locality, ref: topology.h:104-123, scaled to 2x2 here
+            # since ICI tori reward nearest-neighbor placement at tile
+            # granularity).
+            if d1 % 2 or d2 % 2:
+                raise ValueError("layout=2 needs even grid sides")
+            t = arr.reshape(c, d1 // 2, d2 // 2, 2, 2)
+            arr = t.transpose(0, 1, 3, 2, 4).reshape(shape)
         else:
             raise ValueError(f"unknown layout {layout}")
         return cls(mesh=Mesh(arr, ALL_AXES))

@@ -49,6 +49,20 @@ def trtri(t: jax.Array, lower: bool = False) -> jax.Array:
     return lax.linalg.triangular_solve(t, eye, left_side=True, lower=lower)
 
 
+def geqrf(a: jax.Array):
+    """Householder QR factor pair (ref: _geqrf, lapack/interface.hpp:68-77 —
+    wrapped by the reference but never called by any algorithm; kept here for
+    the same API-parity reason). Returns (qr_packed, tau)."""
+    return lax.linalg.qr(a, full_matrices=False)
+
+
+def orgqr(a: jax.Array):
+    """Explicit Q from a QR factorization (ref: _orgqr, lapack/
+    interface.hpp:79-88). Returns Q with orthonormal columns."""
+    q, _ = lax.linalg.qr(a, full_matrices=False)
+    return q
+
+
 def chol_inv(a: jax.Array, lower: bool = False, method: str = "auto"):
     """Fused Cholesky + triangular inverse. See module docstring."""
     if method == "auto":

@@ -36,3 +36,23 @@ def test_shardings(grid222):
 
     assert grid222.block2d.spec == P("y", "x")
     assert grid222.row1d.spec == P(("z", "y", "x"), None)
+
+
+def test_layout2_subblock(cpus):
+    """layout=2 places consecutive devices in 2x2 slice tiles
+    (ref: the 64-rank subcube blocking, topology.h:104-123)."""
+    from capital_tpu.grid import Grid
+
+    g = Grid.square(c=2, d=2, devices=cpus[:8], layout=2)
+    assert g.shape == (2, 2, 2)
+    ids = [[d.id for d in row] for row in g.mesh.devices[0]]
+    # first four devices fill the z=0 slice as one 2x2 tile
+    assert sorted(ids[0] + ids[1]) == [0, 1, 2, 3]
+
+
+def test_layout2_rejects_odd(cpus):
+    import pytest
+    from capital_tpu.grid import Grid
+
+    with pytest.raises(ValueError):
+        Grid.square(c=8, d=1, devices=cpus[:8], layout=2)
