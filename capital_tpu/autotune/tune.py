@@ -97,10 +97,13 @@ def sweep_cholinv(grid: Grid, a, space: dict | None = None,
         params = dict(zip(keys, vals))
         cand = Candidate(params=params)
         try:
-            cfg = cholinv.Config(**params)
-            fn = jax.jit(lambda x, cfg=cfg: cholinv.factor(grid, x, cfg))
-            cand.costs, cand.model_time_s = _trace_costs(fn, (a,))
-            cand.time_s = _measure(lambda: fn, (a,), num_iter)
+            cfg_params = {k: v for k, v in params.items() if k != "precision"}
+            cfg = cholinv.Config(**cfg_params)
+            with jax.default_matmul_precision(params.get("precision",
+                                                         "highest")):
+                fn = jax.jit(lambda x, cfg=cfg: cholinv.factor(grid, x, cfg))
+                cand.costs, cand.model_time_s = _trace_costs(fn, (a,))
+                cand.time_s = _measure(lambda: fn, (a,), num_iter)
         except Exception as e:  # config invalid for this shape: record, move on
             cand.error = f"{type(e).__name__}: {e}"
         out.append(cand)
@@ -124,10 +127,13 @@ def sweep_cacqr(grid: Grid, a, space: dict | None = None,
         params = dict(zip(keys, vals))
         cand = Candidate(params=params)
         try:
-            cfg = cacqr.Config(**params)
-            fn = jax.jit(lambda x, cfg=cfg: cacqr.factor_1d(grid, x, cfg))
-            cand.costs, cand.model_time_s = _trace_costs(fn, (a,))
-            cand.time_s = _measure(lambda: fn, (a,), num_iter)
+            cfg_params = {k: v for k, v in params.items() if k != "precision"}
+            cfg = cacqr.Config(**cfg_params)
+            with jax.default_matmul_precision(params.get("precision",
+                                                         "highest")):
+                fn = jax.jit(lambda x, cfg=cfg: cacqr.factor_1d(grid, x, cfg))
+                cand.costs, cand.model_time_s = _trace_costs(fn, (a,))
+                cand.time_s = _measure(lambda: fn, (a,), num_iter)
         except Exception as e:
             cand.error = f"{type(e).__name__}: {e}"
         out.append(cand)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from capital_tpu import tracing
 from capital_tpu.apps import als
-from capital_tpu.bench.common import base_parser, force, report
+from capital_tpu.bench.common import apply_precision, base_parser, force, report
 from capital_tpu.grid import Grid
 
 
@@ -25,6 +25,7 @@ def main(argv=None):
     p.add_argument("--density", type=float, default=0.05)
     p.add_argument("--iters", type=int, default=5)
     args = p.parse_args(argv)
+    apply_precision(args)
 
     grid = Grid.rect(c=args.c) if args.c > 1 else Grid.square(
         c=1, d=1, devices=jax.devices()[:1])

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from capital_tpu import matrix, tracing, validate
 from capital_tpu.algs import cacqr, cholinv
-from capital_tpu.bench.common import base_parser, report, timed_loop
+from capital_tpu.bench.common import apply_precision, base_parser, report, timed_loop
 from capital_tpu.grid import Grid
 
 
@@ -29,6 +29,7 @@ def main(argv=None):
     p.add_argument("--base-method", default="auto",
                    choices=["auto", "xla", "pallas"])
     args = p.parse_args(argv)
+    apply_precision(args)
 
     grid = Grid.rect(c=args.c, layout=args.layout) if args.c > 1 else \
         Grid.square(c=1, d=1, devices=jax.devices()[:1]) if len(jax.devices()) == 1 else \

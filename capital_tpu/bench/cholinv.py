@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from capital_tpu import matrix, tracing, validate
 from capital_tpu.algs import cholinv
-from capital_tpu.bench.common import base_parser, report, timed_loop
+from capital_tpu.bench.common import apply_precision, base_parser, report, timed_loop
 from capital_tpu.grid import Grid
 
 
@@ -28,6 +28,7 @@ def main(argv=None):
     p.add_argument("--summa-impl", default="gspmd",
                    choices=["gspmd", "shard_map"])
     args = p.parse_args(argv)
+    apply_precision(args)
 
     ndev = len(jax.devices())
     import math

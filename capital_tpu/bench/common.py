@@ -34,6 +34,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="timed iterations (ref: num_iter argv)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--precision", default="highest",
+                   choices=["highest", "high", "default"],
+                   help="matmul passes: highest=f32-faithful (6x bf16), "
+                        "high=3x bf16 (~1.5x faster, 1e-5-class accuracy), "
+                        "default=1x bf16")
     p.add_argument("--no-validate", action="store_true",
                    help="skip residual checks (the reference's default —"
                         " its validate calls are commented out)")
@@ -64,6 +69,14 @@ def _perturb(args, i: int):
         lambda x: x * s if hasattr(x, "dtype") and x.dtype.kind == "f" else x,
         args,
     )
+
+
+def apply_precision(args):
+    """Apply the --precision flag globally (precision.prec() honors an
+    explicit jax_default_matmul_precision over the framework HIGHEST
+    default)."""
+    if getattr(args, "precision", "highest") != "highest":
+        jax.config.update("jax_default_matmul_precision", args.precision)
 
 
 def timed_loop(fn, args, num_iter: int, warmup: int = 1):

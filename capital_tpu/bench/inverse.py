@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from capital_tpu import matrix, tracing
 from capital_tpu.algs import newton, rectri
-from capital_tpu.bench.common import base_parser, report, timed_loop
+from capital_tpu.bench.common import apply_precision, base_parser, report, timed_loop
 from capital_tpu.grid import Grid
 
 
@@ -20,6 +20,7 @@ def main(argv=None):
     p.add_argument("--summa-impl", default="gspmd",
                    choices=["gspmd", "shard_map"])
     args = p.parse_args(argv)
+    apply_precision(args)
 
     import math
     ndev = len(jax.devices())

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from capital_tpu import matrix, tracing
-from capital_tpu.bench.common import base_parser, report, timed_loop
+from capital_tpu.bench.common import apply_precision, base_parser, report, timed_loop
 from capital_tpu.grid import Grid
 from capital_tpu.parallel import summa
 
@@ -19,6 +19,7 @@ def main(argv=None):
     p.add_argument("--impl", default="shard_map",
                    choices=["shard_map", "gspmd"])
     args = p.parse_args(argv)
+    apply_precision(args)
 
     ndev = len(jax.devices())
     import math

@@ -27,11 +27,20 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _f32in(x):
+    """Low-precision storage factors in f32 (neither XLA's expander nor CPU
+    LAPACK has bf16 kernels, and the base case wants full accuracy)."""
+    return x.astype(jnp.float32) if x.dtype in (jnp.bfloat16, jnp.float16) else x
+
+
 def chol_inv_xla(a: jax.Array, lower: bool = False):
     """(R, Rinv) with A = R^T R (upper, default) or (L, Linv) with A = L L^T."""
+    dt = a.dtype
+    a = _f32in(a)
     L = lax.linalg.cholesky(a)  # lower
     eye = jnp.eye(a.shape[-1], dtype=a.dtype)
     Linv = lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    L, Linv = L.astype(dt), Linv.astype(dt)
     if lower:
         return L, Linv
     return jnp.swapaxes(L, -1, -2), jnp.swapaxes(Linv, -1, -2)
@@ -39,14 +48,16 @@ def chol_inv_xla(a: jax.Array, lower: bool = False):
 
 def potrf(a: jax.Array, lower: bool = False) -> jax.Array:
     """Cholesky factor only (ref: _potrf, lapack/interface.hpp:30-47)."""
-    L = lax.linalg.cholesky(a)
+    L = lax.linalg.cholesky(_f32in(a)).astype(a.dtype)
     return L if lower else jnp.swapaxes(L, -1, -2)
 
 
 def trtri(t: jax.Array, lower: bool = False) -> jax.Array:
     """Triangular inverse (ref: _trtri, lapack/interface.hpp:49-66)."""
-    eye = jnp.eye(t.shape[-1], dtype=t.dtype)
-    return lax.linalg.triangular_solve(t, eye, left_side=True, lower=lower)
+    t32 = _f32in(t)
+    eye = jnp.eye(t32.shape[-1], dtype=t32.dtype)
+    return lax.linalg.triangular_solve(
+        t32, eye, left_side=True, lower=lower).astype(t.dtype)
 
 
 def geqrf(a: jax.Array):
