@@ -164,7 +164,7 @@ def _solve_2block(grid: Grid, a, r, rinv, n1: int, cfg: Config):
     q1 = summa.trmm(grid, r11i, a1, side="R", uplo="U", impl=impl)
     t = summa.gemm(grid, q1, r12, c=a2, alpha=-1.0, beta=1.0, impl=impl)
     q2 = summa.trmm(grid, r22i, t, side="R", uplo="U", impl=impl)
-    return grid.constrain(jnp.concatenate([q1, q2], axis=1), P(AXIS_Y, AXIS_X))
+    return grid.constrain(jnp.concatenate([q1, q2], axis=1), grid.slice_spec)
 
 
 def _sweep_3d(grid: Grid, a, cfg: Config):
@@ -200,15 +200,80 @@ def factor_3d(grid: Grid, a, cfg: Config = Config()):
 
 
 # ---------------------------------------------------------------------------
+# hybrid path (ref: sweep_tune, cacqr.hpp:124-170 — 1 < c < d regime)
+# ---------------------------------------------------------------------------
+
+def _sweep_hybrid(grid: Grid, a, cfg: Config):
+    """Rows sharded over the FULL mesh (like 1D), Gram factored DISTRIBUTED
+    on a square (z, x) axis view (like 3D).
+
+    The reference's sweep_tune splits the Gram reduction into a
+    column_contig Reduce + column_alt Allreduce and runs cholinv on a nested
+    square topology built over the rect grid's c^3 cube sub-communicator
+    (ref: cacqr.hpp:146-149, 232-234). Here the nested topology is an
+    axis-role VIEW: the mesh's depth and col axes (both size c on a rect
+    grid) become the cholinv slice, no communicator surgery. Each 'y' layer
+    redundantly factors its Gram replica — the ReplicateCommComp placement.
+    """
+    m, n = a.shape
+    with tracing.phase("CQR::gram"):
+        # two-stage reduction to a P('z', 'x')-sharded Gram: psum_scatter
+        # over the long row axis leaves G shards exactly where the square
+        # view wants them (the column_contig/column_alt split analog).
+        def kern(a_blk):
+            g = _pdot(a_blk.T, a_blk)
+            g = g.astype(a_blk.dtype)
+            # reduce over everything, then keep the (z, x) shard of G
+            g = lax.psum(g, ALL_AXES)
+            return g
+
+        f = jax.shard_map(kern, mesh=grid.mesh,
+                          in_specs=P(ALL_AXES, None),
+                          out_specs=P(None, None))
+        g = f(a)
+    sq = grid.view(z=None, y="z", x="x")  # square c x c slice, y-replicated
+    g = sq.constrain(g, sq.slice_spec)
+    with tracing.phase("CQR::chol"):
+        r, rinv = _cholinv.factor(sq, g, cfg.chol)
+    with tracing.phase("CQR::formQ"):
+        # Q = A @ Rinv with A row-sharded: replicate Rinv, local trmm.
+        rinv_rep = sq.constrain(rinv, P(None, None))
+        q = blas.trmm(rinv_rep, a, side="R", uplo="U")
+        q = grid.constrain(q, P(ALL_AXES, None))
+    return q, sq.constrain(r, P(None, None))
+
+
+def factor_hybrid(grid: Grid, a, cfg: Config = Config()):
+    """CholeskyQR(2), hybrid regime: full-mesh row sharding + distributed
+    Gram factorization on the (z, x) square view. Returns (Q, R), Q sharded
+    like A, R replicated. Requires a rect grid (z and x axes equal size)."""
+    if isinstance(a, DistMatrix):
+        a = a.data
+    if grid.c != grid.d2:
+        raise ValueError(
+            f"hybrid path needs a rect grid with c == d2, got {grid.shape}")
+    q, r1 = _sweep_hybrid(grid, a, cfg)
+    if cfg.num_iter == 1:
+        return q, jnp.triu(r1)
+    q, r2 = _sweep_hybrid(grid, q, cfg)
+    r = blas.trmm(r2, jnp.triu(r1), side="L", uplo="U")
+    return q, jnp.triu(r)
+
+
+# ---------------------------------------------------------------------------
 # dispatch (ref: cacqr::factor grid dispatch, cacqr.hpp:229-244)
 # ---------------------------------------------------------------------------
 
 def factor(grid: Grid, a, cfg: Config = Config()):
-    """Dispatch on Gram size: tiny Gram -> 1D replicated path (the c==1 and
-    hybrid regimes); large Gram -> distributed 3D path (the c==d regime)."""
+    """Dispatch, mirroring the reference's grid-shape dispatch
+    (ref: cacqr.hpp:229-244): tiny Gram -> 1D replicated path (c==1 analog);
+    larger Gram on a rect grid (c == d2 < d1) -> hybrid sweep_tune analog;
+    else -> fully distributed 3D path (c==d analog)."""
     arr = a.data if isinstance(a, DistMatrix) else a
     if arr.shape[1] <= cfg.local_thresh:
         return factor_1d(grid, arr, cfg)
+    if not grid.is_square and grid.c == grid.d2 and grid.c > 1:
+        return factor_hybrid(grid, arr, cfg)
     return factor_3d(grid, arr, cfg)
 
 

@@ -100,8 +100,8 @@ def _base_case(grid: Grid, a, cfg: Config):
     P('y','x') is a local slice (free)."""
     a_rep = grid.constrain(a, P(None, None))
     r, rinv = lapack.chol_inv(a_rep, lower=False, method=cfg.base_method)
-    r = grid.constrain(r, P(AXIS_Y, AXIS_X))
-    rinv = grid.constrain(rinv, P(AXIS_Y, AXIS_X))
+    r = grid.constrain(r, grid.slice_spec)
+    rinv = grid.constrain(rinv, grid.slice_spec)
     return r, rinv
 
 
@@ -191,10 +191,10 @@ def factor(grid: Grid, a, cfg: Config = Config()):
         arr = a
     n = arr.shape[0]
     bc = cfg.base_dim(grid, n)
-    zeros = grid.constrain(jnp.zeros_like(arr), P(AXIS_Y, AXIS_X))
+    zeros = grid.constrain(jnp.zeros_like(arr), grid.slice_spec)
     _, r, rinv = _rec(grid, (arr, zeros, zeros), 0, n, bc, cfg, True)
-    r = grid.constrain(r, P(AXIS_Y, AXIS_X))
-    rinv = grid.constrain(rinv, P(AXIS_Y, AXIS_X))
+    r = grid.constrain(r, grid.slice_spec)
+    rinv = grid.constrain(rinv, grid.slice_spec)
     return r, rinv
 
 

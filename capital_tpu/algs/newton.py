@@ -66,7 +66,7 @@ def invert(grid: Grid, a, cfg: Config = Config()):
     else:
         norm_1 = jnp.max(jnp.sum(jnp.abs(a), axis=0))
         x0 = (a.T / (norm_1 * norm_inf)).astype(a.dtype)
-    x0 = grid.constrain(x0, P(AXIS_Y, AXIS_X))
+    x0 = grid.constrain(x0, grid.slice_spec)
 
     tol2 = jnp.float32(cfg.tol) ** 2 * n  # tol on ||.||_F / sqrt(n)
 

@@ -54,7 +54,7 @@ def _base_trtri(grid: Grid, t, lower: bool, cfg: Config):
     rectri.hpp:66-68)."""
     t_rep = grid.constrain(t, P(None, None))
     inv = lapack.trtri(t_rep, lower=lower)
-    return grid.constrain(inv, P(AXIS_Y, AXIS_X))
+    return grid.constrain(inv, grid.slice_spec)
 
 
 def _rec(grid: Grid, carry, off: int, n: int, bc: int, lower: bool, cfg: Config):
@@ -100,6 +100,6 @@ def invert(grid: Grid, t, lower: bool = True, cfg: Config = Config()):
     t = jnp.tril(t) if lower else jnp.triu(t)
     n = t.shape[0]
     bc = cfg.base_dim(grid, n)
-    x = grid.constrain(jnp.zeros_like(t), P(AXIS_Y, AXIS_X))
+    x = grid.constrain(jnp.zeros_like(t), grid.slice_spec)
     _, x = _rec(grid, (t, x), 0, n, bc, lower, cfg)
-    return grid.constrain(x, P(AXIS_Y, AXIS_X))
+    return grid.constrain(x, grid.slice_spec)

@@ -76,7 +76,7 @@ def solve(grid: Grid, a, b, *, side: str = "L", lower: bool = True,
 
     # 2. block substitution (forward for lower, backward for upper)
     order = range(num_p) if lower else range(num_p - 1, -1, -1)
-    x = grid.constrain(jnp.zeros_like(b), P(AXIS_Y, AXIS_X))
+    x = grid.constrain(jnp.zeros_like(b), grid.slice_spec)
     with tracing.phase("TRSM::substitute"):
         for i in order:
             s, e = i * nb, min((i + 1) * nb, n)

@@ -55,9 +55,10 @@ def main(argv=None):
     u, v, err = out
 
     users, items, k = args.users, args.items, args.rank
-    # dominant flops per ALS iter: user gramians 2*U*I*k^2-ish masked einsum
-    flops = args.iters * (2.0 * users * items * k * 2 + users * k**3 / 3
-                          + items * k**3 / 3)
+    # per ALS iter: masked Gramian einsums dominate — 2*U*I*k^2 for the user
+    # side + the same for items; solves add (U+I)*k^3/3
+    flops = args.iters * (4.0 * users * items * k**2
+                          + (users + items) * k**3 / 3)
     extra = {"users": users, "items": items, "rank": k,
              "iters": args.iters, "rmse": float(err), "grid": grid.shape}
     rec = report("als", secs=secs, flops=flops, extra=extra, as_json=args.json)

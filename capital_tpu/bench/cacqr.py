@@ -25,7 +25,8 @@ def main(argv=None):
                    help="1 = CholeskyQR, 2 = CholeskyQR2 (ref: argv variant)")
     p.add_argument("--gram-policy", default="allreduce",
                    choices=["allreduce", "two_stage"])
-    p.add_argument("--path", default="auto", choices=["auto", "1d", "3d"])
+    p.add_argument("--path", default="auto",
+               choices=["auto", "1d", "3d", "hybrid"])
     p.add_argument("--base-method", default="auto",
                    choices=["auto", "xla", "pallas"])
     args = p.parse_args(argv)
@@ -48,6 +49,10 @@ def main(argv=None):
     if args.path == "3d":
         fn = jax.jit(lambda x: cacqr.factor_3d(grid, x, cfg), donate_argnums=0)
         layout = "2d"
+    elif args.path == "hybrid":
+        fn = jax.jit(lambda x: cacqr.factor_hybrid(grid, x, cfg),
+                     donate_argnums=0)
+        layout = "1d"
     else:
         fn = jax.jit(lambda x: cacqr.factor_1d(grid, x, cfg), donate_argnums=0)
         layout = "1d"

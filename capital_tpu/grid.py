@@ -58,9 +58,38 @@ class Grid:
     square grids have d1 == d2 == d (ref: topo::square, topology.h:67-143);
     rect grids have d1 = P/(c*c) >= d2 = c for tall-skinny operands
     (ref: topo::rect, topology.h:16-65).
+
+    `roles` maps the algorithmic roles (depth, row, col) onto mesh axis
+    names. The default is the identity; `view()` returns a Grid over the
+    SAME mesh with axes re-cast in different roles — the TPU-native
+    equivalent of the reference's nested topologies (cacqr builds a square
+    topo::square on the rect grid's cube sub-communicator,
+    ref: cacqr.hpp:232-234; here no communicator surgery is needed, the
+    mesh axes just play different parts). A role of None means "no axis":
+    that dimension has size 1 and arrays are replicated over the unmentioned
+    mesh axes.
     """
 
     mesh: Mesh
+    roles: tuple = (AXIS_Z, AXIS_Y, AXIS_X)  # (depth, row, col) axis names
+
+    # ---- role indirection ----------------------------------------------
+
+    @property
+    def ax_z(self) -> str | None:
+        return self.roles[0]
+
+    @property
+    def ax_y(self) -> str | None:
+        return self.roles[1]
+
+    @property
+    def ax_x(self) -> str | None:
+        return self.roles[2]
+
+    def view(self, z=None, y=AXIS_Y, x=AXIS_X) -> "Grid":
+        """Re-cast mesh axes into new (depth, row, col) roles."""
+        return Grid(mesh=self.mesh, roles=(z, y, x))
 
     # ---- constructors -------------------------------------------------
 
@@ -134,16 +163,16 @@ class Grid:
 
     @property
     def c(self) -> int:
-        """Depth (replication) factor — size of the 'z' axis."""
-        return self.mesh.shape[AXIS_Z]
+        """Depth (replication) factor — size of the depth-role axis."""
+        return self.mesh.shape[self.ax_z] if self.ax_z else 1
 
     @property
     def d1(self) -> int:
-        return self.mesh.shape[AXIS_Y]
+        return self.mesh.shape[self.ax_y] if self.ax_y else 1
 
     @property
     def d2(self) -> int:
-        return self.mesh.shape[AXIS_X]
+        return self.mesh.shape[self.ax_x] if self.ax_x else 1
 
     @property
     def d(self) -> int:
@@ -178,7 +207,12 @@ class Grid:
         layer (ref: src/matrix/matrix.hpp:7-11 + seeded generation
         structure.hpp:80-85 which makes all layers identical).
         """
-        return self.sharding(P(AXIS_Y, AXIS_X))
+        return self.sharding(P(self.ax_y, self.ax_x))
+
+    @property
+    def slice_spec(self) -> P:
+        """PartitionSpec of the (row, col) slice in this grid's roles."""
+        return P(self.ax_y, self.ax_x)
 
     @property
     def row1d(self) -> NamedSharding:

@@ -77,20 +77,31 @@ def _check_divisible(grid: Grid, a, b):
         )
 
 
-def _summa_kernel(a_blk, b_blk):
-    """Local shard_map body. a_blk: (mb, kb), b_blk: (kb, nb) at (z, y, x)."""
-    z = lax.axis_index(AXIS_Z)
-    c = lax.axis_size(AXIS_Z)
-    kc_a = a_blk.shape[1] // c
-    kc_b = b_blk.shape[0] // c
-    # layer z takes the z-th K sub-slice of every block (cyclic-over-blocks
-    # K chunking; the k-order of the two gathers matches by construction).
-    a_sub = lax.dynamic_slice_in_dim(a_blk, z * kc_a, kc_a, 1)
-    b_sub = lax.dynamic_slice_in_dim(b_blk, z * kc_b, kc_b, 0)
-    a_k = lax.all_gather(a_sub, AXIS_X, axis=1, tiled=True)  # (mb, k/c)
-    b_k = lax.all_gather(b_sub, AXIS_Y, axis=0, tiled=True)  # (k/c, nb)
-    part = _pdot(a_k, b_k)
-    return lax.psum(part, AXIS_Z).astype(a_blk.dtype)
+def _make_summa_kernel(ax_z, ax_y, ax_x):
+    """Local shard_map body over the grid's role axes.
+    a_blk: (mb, kb), b_blk: (kb, nb) at coordinates (z, y, x)."""
+
+    def kern(a_blk, b_blk):
+        if ax_z is not None:
+            z = lax.axis_index(ax_z)
+            c = lax.axis_size(ax_z)
+            kc_a = a_blk.shape[1] // c
+            kc_b = b_blk.shape[0] // c
+            # layer z takes the z-th K sub-slice of every block (cyclic-over-
+            # blocks K chunking; the k-order of the two gathers matches by
+            # construction).
+            a_sub = lax.dynamic_slice_in_dim(a_blk, z * kc_a, kc_a, 1)
+            b_sub = lax.dynamic_slice_in_dim(b_blk, z * kc_b, kc_b, 0)
+        else:
+            a_sub, b_sub = a_blk, b_blk
+        a_k = lax.all_gather(a_sub, ax_x, axis=1, tiled=True)  # (mb, k/c)
+        b_k = lax.all_gather(b_sub, ax_y, axis=0, tiled=True)  # (k/c, nb)
+        part = _pdot(a_k, b_k)
+        if ax_z is not None:
+            part = lax.psum(part, ax_z)
+        return part.astype(a_blk.dtype)
+
+    return kern
 
 
 def gemm(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
@@ -102,14 +113,14 @@ def gemm(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
     _record_gemm_cost(grid, a, b)
     if impl == "gspmd":
         out = _pdot(a, b).astype(a.dtype)
-        out = grid.constrain(out, P(AXIS_Y, AXIS_X))
+        out = grid.constrain(out, grid.slice_spec)
     else:
         _check_divisible(grid, a, b)
         f = jax.shard_map(
-            _summa_kernel,
+            _make_summa_kernel(grid.ax_z, grid.ax_y, grid.ax_x),
             mesh=grid.mesh,
-            in_specs=(P(AXIS_Y, AXIS_X), P(AXIS_Y, AXIS_X)),
-            out_specs=P(AXIS_Y, AXIS_X),
+            in_specs=(grid.slice_spec, grid.slice_spec),
+            out_specs=grid.slice_spec,
         )
         out = f(a, b)
     if alpha != 1.0:
@@ -123,7 +134,7 @@ def transpose(grid: Grid, a, impl="shard_map"):
     """Distributed transpose: every device swaps blocks with its grid-
     transposed partner, then transposes locally (ref: util::transpose,
     util.hpp:232-247 — pairwise MPI_Sendrecv_replace). Here the pairwise
-    exchange is one lax.ppermute over the joint ('y','x') axis."""
+    exchange is one lax.ppermute over the joint (row, col) axis pair."""
     tracing.record(
         "summa.transpose",
         comm_bytes=tracing.ppermute_bytes(
@@ -132,16 +143,17 @@ def transpose(grid: Grid, a, impl="shard_map"):
         msgs=1,
     )
     if impl == "gspmd":
-        return grid.constrain(a.T, P(AXIS_Y, AXIS_X))
+        return grid.constrain(a.T, grid.slice_spec)
     d = grid.d
     perm = [(y * d + x, x * d + y) for y in range(d) for x in range(d)]
 
     def kern(blk):
-        blk = lax.ppermute(blk, (AXIS_Y, AXIS_X), perm)
+        blk = lax.ppermute(blk, (grid.ax_y, grid.ax_x), perm)
         return blk.T
 
     f = jax.shard_map(
-        kern, mesh=grid.mesh, in_specs=P(AXIS_Y, AXIS_X), out_specs=P(AXIS_Y, AXIS_X)
+        kern, mesh=grid.mesh, in_specs=grid.slice_spec,
+        out_specs=grid.slice_spec,
     )
     return f(a)
 

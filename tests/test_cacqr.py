@@ -81,3 +81,36 @@ def test_apply_q_1d(grid222):
     # Q^T A == R
     qta = cacqr.apply_q(grid222, q, a, trans=True)
     np.testing.assert_allclose(np.asarray(qta), np.asarray(r), atol=1e-3)
+
+
+def test_factor_hybrid(grid_rect):
+    """Hybrid (1<c<d) path: Gram factored distributed on the (z, x) axis
+    view (ref: sweep_tune, cacqr.hpp:124-170)."""
+    import jax
+    import jax.numpy as jnp
+
+    from capital_tpu import matrix, validate
+    from capital_tpu.algs import cacqr, cholinv
+
+    m, n = 2048, 256
+    a = matrix.tall_skinny(grid_rect, m, n, jax.random.key(9))
+    cfg = cacqr.Config(
+        num_iter=2,
+        chol=cholinv.Config(min_bc=64, base_method="xla",
+                            summa_impl="shard_map"),
+    )
+    q, r = cacqr.factor_hybrid(grid_rect, a, cfg)
+    ortho = float(validate.qr_orthogonality(grid_rect, q, layout="1d"))
+    assert ortho < 1e-5, ortho
+    res = float(validate.qr_residual(grid_rect, a.data, q, r, layout="1d"))
+    assert res < 1e-5, res
+
+
+def test_factor_hybrid_rejects_square(grid122):
+    import jax.numpy as jnp
+    import pytest
+
+    from capital_tpu.algs import cacqr
+
+    with pytest.raises(ValueError):
+        cacqr.factor_hybrid(grid122, jnp.ones((64, 16)))
