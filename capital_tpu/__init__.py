@@ -24,4 +24,13 @@ from capital_tpu.matrix import DistMatrix, Structure
 
 __version__ = "0.1.0"
 
-__all__ = ["Grid", "DistMatrix", "Structure", "__version__"]
+__all__ = [
+    "Grid", "DistMatrix", "Structure", "__version__",
+    # subpackages/modules (imported lazily by users):
+    #   capital_tpu.algs.{cholinv,cacqr,rectri,newton,trsm}
+    #   capital_tpu.parallel.summa
+    #   capital_tpu.ops.{blas,lapack,pallas_chol,precision}
+    #   capital_tpu.{matrix,validate,tracing,io,native}
+    #   capital_tpu.apps.als
+    #   capital_tpu.{bench,autotune}
+]

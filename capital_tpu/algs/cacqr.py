@@ -277,6 +277,22 @@ def factor(grid: Grid, a, cfg: Config = Config()):
     return factor_3d(grid, arr, cfg)
 
 
+def construct_q(q, shape=None):
+    """Dense Q export, cropping generator padding (ref: construct_Q,
+    cacqr.hpp:250-259)."""
+    if shape is not None:
+        q = q[: shape[0], : shape[1]]
+    return q
+
+
+def construct_r(r, shape=None):
+    """Dense masked R export (ref: construct_R, cacqr.hpp:261-270)."""
+    out = jnp.triu(r)
+    if shape is not None:
+        out = out[: shape[0], : shape[1]]
+    return out
+
+
 def apply_q(grid: Grid, q, x, *, trans: bool = False, cfg: Config = Config(),
             layout: str = "auto"):
     """Y = Q X (ref: apply_Q summa-GEMM, cacqr.hpp:272-280). apply_QT — which

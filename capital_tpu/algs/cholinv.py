@@ -54,9 +54,32 @@ from capital_tpu.parallel import summa
 
 
 class BasePolicy(enum.Enum):
-    """Base-case compute placement (ref: cholinv/policy.h:160-514)."""
+    """Base-case compute placement (ref: cholinv/policy.h:160-514).
 
-    REPLICATED = "replicated"  # ReplicateCommComp analog: every chip factors
+    The reference's four MPI aggregation strategies and their TPU fate:
+
+    REPLICATED (ReplicateCommComp, policy.h:160-224): all-gather the block,
+        every chip factors it redundantly. The ONLY schedule that makes
+        sense on TPU — depth layers hold identical replicas already, the
+        all-gather is one sharding constraint, and redundant (bc)^3 compute
+        is cheaper than any round-trip.
+    LAYER (ReplicateComp, policy.h:226-305): compute on the z==0 layer then
+        broadcast along depth. In SPMD-JAX the data on every layer is
+        bitwise identical, so "compute on one layer + broadcast" and
+        "compute on all layers" are the same program with extra collectives
+        added; aliases REPLICATED.
+    GATHER (NoReplication, policy.h:307-414) and GATHER_OVERLAP
+        (NoReplicationOverlap, policy.h:416-514): gather to rank (0,0,0),
+        solo compute, scatter back (optionally overlapped). On TPU this
+        serializes the pod behind one chip; aliases REPLICATED. Retained so
+        autotune configs written for the reference's policy ids remain
+        valid.
+    """
+
+    REPLICATED = "replicated"
+    LAYER = "layer"
+    GATHER = "gather"
+    GATHER_OVERLAP = "gather_overlap"
 
 
 @dataclass(frozen=True)
@@ -83,6 +106,10 @@ class Config:
     base_policy: BasePolicy = BasePolicy.REPLICATED
     summa_impl: str = "shard_map"
     remat: bool = False
+    # factorization direction (ref: the `dir` knob in the info pack,
+    # cholinv.h:26-43): False -> A = R^T R (upper R), True -> A = L L^T
+    # (lower L = R^T, exported via one distributed transpose)
+    lower: bool = False
     # autotuned single-chip default (autotune_cholinv_wide sweep, n=8192):
     # bc 512-1024 beats 128 by ~1.5x; the pallas leaf covers up to 1024
     min_bc: int = 512
@@ -195,6 +222,10 @@ def factor(grid: Grid, a, cfg: Config = Config()):
     _, r, rinv = _rec(grid, (arr, zeros, zeros), 0, n, bc, cfg, True)
     r = grid.constrain(r, grid.slice_spec)
     rinv = grid.constrain(rinv, grid.slice_spec)
+    if cfg.lower:
+        # A = L L^T with L = R^T (the reference's `dir` switch)
+        r = summa.transpose(grid, r, impl=cfg.summa_impl)
+        rinv = summa.transpose(grid, rinv, impl=cfg.summa_impl)
     return r, rinv
 
 

@@ -30,18 +30,26 @@ def prec() -> lax.Precision:
     return v
 
 
-def dot(a, b, preferred_element_type=jnp.float32, precision=None):
+def acc_dtype(*xs):
+    """Accumulation dtype: f64 stays f64 (the reference's MKL precision);
+    everything else accumulates in f32."""
+    if any(x.dtype == jnp.float64 for x in xs):
+        return jnp.float64
+    return jnp.float32
+
+
+def dot(a, b, preferred_element_type=None, precision=None):
     return jnp.dot(
         a, b,
-        preferred_element_type=preferred_element_type,
+        preferred_element_type=preferred_element_type or acc_dtype(a, b),
         precision=precision if precision is not None else prec(),
     )
 
 
-def dot_general(a, b, dimension_numbers, preferred_element_type=jnp.float32,
+def dot_general(a, b, dimension_numbers, preferred_element_type=None,
                 precision=None):
     return lax.dot_general(
         a, b, dimension_numbers,
-        preferred_element_type=preferred_element_type,
+        preferred_element_type=preferred_element_type or acc_dtype(a, b),
         precision=precision if precision is not None else prec(),
     )

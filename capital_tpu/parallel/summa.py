@@ -180,3 +180,10 @@ def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
     layout breaks local symmetry; the same argument holds for mesh sharding."""
     at = transpose(grid, a, impl=impl)
     return gemm(grid, at, a, c=c, alpha=alpha, beta=beta, impl=impl)
+
+
+def syrk2(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
+    """Two-matrix SYRK: C = alpha * A^T B + beta * C (ref: the 2-matrix syrk
+    overload, summa.hpp:85-108)."""
+    at = transpose(grid, a, impl=impl)
+    return gemm(grid, at, b, c=c, alpha=alpha, beta=beta, impl=impl)

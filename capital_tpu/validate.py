@@ -20,7 +20,8 @@ from capital_tpu.parallel import summa
 
 
 def _fro(x) -> jax.Array:
-    return jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32))))
+    acc = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    return jnp.sqrt(jnp.sum(jnp.square(x.astype(acc))))
 
 
 def cholesky_residual(grid: Grid, a, r, impl: str = "shard_map") -> jax.Array:

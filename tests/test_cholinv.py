@@ -66,3 +66,18 @@ def test_base_case_only(grid122):
     r, rinv = cholinv.factor(grid122, a, cfg)
     assert float(validate.cholesky_residual(grid122, a, r)) < 5e-6
     assert float(validate.inverse_residual(grid122, r, rinv)) < 5e-6
+
+
+def test_lower_direction(grid122):
+    """cfg.lower mirrors the reference's `dir` knob: A = L L^T with
+    L = R^T (ref: cholinv.h:26-43)."""
+    import numpy as np
+
+    n = 128
+    a = _spd(grid122, n, seed=7)
+    up = cholinv.Config(min_bc=64, base_method="xla")
+    lo = cholinv.Config(min_bc=64, base_method="xla", lower=True)
+    r, rinv = cholinv.factor(grid122, a, up)
+    l, linv = cholinv.factor(grid122, a, lo)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(r).T, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(linv), np.asarray(rinv).T, atol=1e-6)

@@ -70,3 +70,14 @@ def test_divisibility_check(grid222):
     b = jnp.zeros((34, 32))
     with pytest.raises(ValueError):
         summa.gemm(grid222, a, b)
+
+
+def test_syrk2(grid222):
+    """Two-matrix SYRK C = A^T B (ref: summa.hpp:85-108 2-matrix overload)."""
+    import numpy as np
+
+    a = matrix.rand(grid222, 64, 32, jax.random.key(11)).data
+    b = matrix.rand(grid222, 64, 32, jax.random.key(12)).data
+    out = summa.syrk2(grid222, a, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(a).T @ np.asarray(b),
+                               atol=1e-4)
