@@ -1,0 +1,75 @@
+"""High-level solver API on top of the factorization engine.
+
+The reference stops at factorizations (no solve/lstsq entry points — its
+TRSM is a stub, src/alg/trsm/diaginvert/diaginvert.hpp:9). A user switching
+from it still needs the standard endpoints, so this module provides them,
+built from the framework's own schedules:
+
+  spd_solve:  A x = b for SPD A      — cholinv once, then two triangular
+              multiplies with the *explicit inverse* (the whole point of
+              computing R^{-1} alongside R: solves become GEMMs, no
+              back-substitution chain).
+  lstsq:      min ||A x - b||_2 for tall-skinny A — CholeskyQR2 + R^{-1}
+              application (x = R^{-1} Q^T b).
+  inv:        A^{-1} for SPD A       — Rinv Rinv^T.
+
+All distributed, jit-friendly, and validated in tests against dense oracles.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from capital_tpu.grid import Grid, ALL_AXES
+from capital_tpu.matrix import DistMatrix
+from capital_tpu.algs import cacqr, cholinv
+from capital_tpu.ops import blas
+from capital_tpu.parallel import summa
+
+
+def _arr(x):
+    return x.data if isinstance(x, DistMatrix) else x
+
+
+def spd_solve(grid: Grid, a, b, cfg: cholinv.Config | None = None):
+    """x = A^{-1} b for SPD A ((n, n) sharded on the slice; b (n, k)).
+
+    A = R^T R  =>  x = R^{-1} (R^{-T} b): two summa TRMMs against the
+    explicit inverse — communication-avoiding in the same way the
+    reference's TRSM step is (cholinv.hpp:116-123)."""
+    a, b = _arr(a), _arr(b)
+    cfg = cfg or cholinv.Config(summa_impl="gspmd")
+    r, rinv = cholinv.factor(grid, a, cfg)
+    y = summa.trmm(grid, rinv, b, side="L", uplo="U", trans_a=True,
+                   impl=cfg.summa_impl)
+    x = summa.trmm(grid, rinv, y, side="L", uplo="U", impl=cfg.summa_impl)
+    return x
+
+
+def inv(grid: Grid, a, cfg: cholinv.Config | None = None):
+    """A^{-1} for SPD A: Rinv Rinv^T (one extra summa gemm after cholinv)."""
+    a = _arr(a)
+    cfg = cfg or cholinv.Config(summa_impl="gspmd")
+    _, rinv = cholinv.factor(grid, a, cfg)
+    rinv_t = summa.transpose(grid, jnp.triu(rinv), impl=cfg.summa_impl)
+    return summa.gemm(grid, jnp.triu(rinv), rinv_t, impl=cfg.summa_impl)
+
+
+def lstsq(grid: Grid, a, b, cfg: cacqr.Config | None = None):
+    """min ||A x - b||_2 for tall-skinny A ((m, n) row-sharded over the full
+    mesh, m >> n; b (m, k) sharded likewise). x is (n, k) replicated.
+
+    CholeskyQR2 gives Q (row-sharded) and R (replicated):
+    x = R^{-1} Q^T b — the Q^T b product is one psum over the mesh
+    (apply_QT, which the reference left unimplemented)."""
+    a, b = _arr(a), _arr(b)
+    cfg = cfg or cacqr.Config(num_iter=2)
+    q, r = cacqr.factor_1d(grid, a, cfg)
+    qtb = cacqr.apply_q(grid, q, b, trans=True, cfg=cfg, layout="1d")
+    # x = R^{-1} (Q^T b): R is small and replicated — local triangular solve
+    x = jax.lax.linalg.triangular_solve(
+        jnp.triu(r).astype(jnp.float32), qtb.astype(jnp.float32),
+        left_side=True, lower=False)
+    return x.astype(a.dtype)
