@@ -67,7 +67,7 @@ def main():
     a = jax.device_put(a, jax.devices()[0])
 
     cfg = cholinv.Config(base_method="auto", summa_impl="gspmd",
-                         complete_inv=True)
+                         complete_inv=True, bc_mult=1)  # autotuned: bc=1024
     ours = jax.jit(lambda x: cholinv.factor(grid, x, cfg))
 
     def make_xla_ref(nn):

@@ -161,8 +161,21 @@ def transpose(grid: Grid, a, impl="shard_map"):
 def trmm(grid: Grid, a, b, *, side="L", uplo="U", trans_a=False, alpha=1.0, impl="shard_map"):
     """Distributed triangular multiply (ref: summa.hpp:46-83). Triangular
     structure is a global mask fused into the operand (see matrix.py); the
-    multiply itself is the gemm engine."""
+    multiply itself is the gemm engine.
+
+    Under the gspmd impl a transposed operand is contracted on axis 0
+    directly (the MXU consumes either layout) instead of materializing the
+    transpose — the relayout only exists in the shard_map schedule, where it
+    IS the distributed block exchange."""
     t = apply_structure(a, Structure.UPPERTRI if uplo == "U" else Structure.LOWERTRI)
+    if trans_a and impl == "gspmd" and side == "L":
+        _record_gemm_cost(grid, t, b)
+        from capital_tpu.ops.precision import dot_general as _pdg
+        out = _pdg(t, b, (((0,), (0,)), ((), ()))).astype(b.dtype)
+        out = grid.constrain(out, grid.slice_spec)
+        if alpha != 1.0:
+            out = alpha * out
+        return out
     if trans_a:
         t = transpose(grid, t, impl=impl)
     if side == "L":
@@ -172,12 +185,28 @@ def trmm(grid: Grid, a, b, *, side="L", uplo="U", trans_a=False, alpha=1.0, impl
     return out
 
 
+def _syrk_gspmd(grid: Grid, a, b, c, alpha, beta):
+    _record_gemm_cost(grid, a, b)
+    from capital_tpu.ops.precision import dot_general as _pdg
+
+    out = _pdg(a, b, (((0,), (0,)), ((), ()))).astype(a.dtype)
+    out = grid.constrain(out, grid.slice_spec)
+    if alpha != 1.0:
+        out = alpha * out
+    if c is not None and beta != 0.0:
+        out = out + beta * c
+    return out
+
+
 def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
     """C = alpha * A^T A + beta * C, distributed (ref: summa.hpp:85-161).
 
-    Implemented as grid-transpose + gemm — the reference does exactly this
+    shard_map impl: grid-transpose + gemm — the reference does exactly this
     (A times A-grid-transposed, summa.hpp:110-161) because block-cyclic
-    layout breaks local symmetry; the same argument holds for mesh sharding."""
+    layout breaks local symmetry; the same argument holds for mesh sharding.
+    gspmd impl: contract axis 0 directly, no transpose relayout."""
+    if impl == "gspmd":
+        return _syrk_gspmd(grid, a, a, c, alpha, beta)
     at = transpose(grid, a, impl=impl)
     return gemm(grid, at, a, c=c, alpha=alpha, beta=beta, impl=impl)
 
@@ -185,5 +214,7 @@ def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
 def syrk2(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
     """Two-matrix SYRK: C = alpha * A^T B + beta * C (ref: the 2-matrix syrk
     overload, summa.hpp:85-108)."""
+    if impl == "gspmd":
+        return _syrk_gspmd(grid, a, b, c, alpha, beta)
     at = transpose(grid, a, impl=impl)
     return gemm(grid, at, b, c=c, alpha=alpha, beta=beta, impl=impl)
