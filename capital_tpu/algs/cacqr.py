@@ -124,7 +124,8 @@ def _sweep_1d(grid: Grid, a, cfg: Config):
         g = gram_1d(grid, a, cfg.gram_policy)
     with tracing.phase("CQR::formR"):
         tracing.record("chol_inv", flops=2.0 * n**3 / 3.0)
-        r, rinv = lapack.chol_inv(g, lower=False, method=cfg.base_method)
+        r, rinv = lapack.chol_inv(g, lower=False, method=cfg.base_method,
+                                  platform=grid.platform)
     with tracing.phase("CQR::formQ"):
         # Q = A @ Rinv: rinv replicated, rows of A in place — local trmm.
         tracing.record("trmm_local", flops=2.0 * m * n * n / p)

@@ -126,7 +126,8 @@ def _base_case(grid: Grid, a, cfg: Config):
     slice axes (ref: MPI_Allgather in policy.h:176); the constraint back to
     P('y','x') is a local slice (free)."""
     a_rep = grid.constrain(a, P(None, None))
-    r, rinv = lapack.chol_inv(a_rep, lower=False, method=cfg.base_method)
+    r, rinv = lapack.chol_inv(a_rep, lower=False, method=cfg.base_method,
+                              platform=grid.platform)
     r = grid.constrain(r, grid.slice_spec)
     rinv = grid.constrain(rinv, grid.slice_spec)
     return r, rinv

@@ -190,6 +190,11 @@ class Grid:
         return self.c * self.d1 * self.d2
 
     @property
+    def platform(self) -> str:
+        """Hardware platform of the mesh's devices ('tpu', 'cpu', ...)."""
+        return self.mesh.devices.flat[0].platform
+
+    @property
     def is_square(self) -> bool:
         return self.d1 == self.d2
 

@@ -74,13 +74,18 @@ def orgqr(a: jax.Array):
     return q
 
 
-def chol_inv(a: jax.Array, lower: bool = False, method: str = "auto"):
-    """Fused Cholesky + triangular inverse. See module docstring."""
+def chol_inv(a: jax.Array, lower: bool = False, method: str = "auto",
+             platform: str | None = None):
+    """Fused Cholesky + triangular inverse. See module docstring.
+
+    platform: where the computation will run (callers under jit pass the
+    grid's platform — tracers carry no device info)."""
     if method == "auto":
         import os
 
+        on_tpu = platform in ("tpu", "axon") if platform else _on_tpu(a)
         method = os.environ.get("CAPITAL_CHOL_METHOD") or (
-            "pallas" if _on_tpu(a) else "xla"
+            "pallas" if on_tpu else "xla"
         )
         # the Pallas kernel holds 4 n^2 f32 buffers in VMEM (16 MB): n=1024
         # is the ceiling; ragged or bigger blocks fall back to XLA
@@ -97,6 +102,13 @@ def chol_inv(a: jax.Array, lower: bool = False, method: str = "auto"):
 
 
 def _on_tpu(x) -> bool:
+    """True if x (or, for tracers, the default backend) lives on a TPU."""
+    try:
+        sh = getattr(x, "sharding", None)
+        if sh is not None and sh.device_set:
+            return next(iter(sh.device_set)).platform in ("tpu", "axon")
+    except Exception:
+        pass
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
