@@ -66,6 +66,11 @@ class Config:
     gram_policy: str = "allreduce"
     local_thresh: int = 4096
     base_method: str = "auto"
+    # formq_chunks > 1 forms Q = A Rinv by overwriting A's buffer in row
+    # chunks (Q row i depends only on A row i): peak memory drops from
+    # A + Q to A + chunk, which is what lets near-HBM-sized operands
+    # factor on one chip. 1 = plain out-of-place trmm.
+    formq_chunks: int = 1
     chol: _cholinv.Config = field(default_factory=_cholinv.Config)
 
 
@@ -129,9 +134,40 @@ def _sweep_1d(grid: Grid, a, cfg: Config):
     with tracing.phase("CQR::formQ"):
         # Q = A @ Rinv: rinv replicated, rows of A in place — local trmm.
         tracing.record("trmm_local", flops=2.0 * m * n * n / p)
-        q = blas.trmm(rinv, a, side="R", uplo="U")
+        if cfg.formq_chunks > 1:
+            q = _formq_inplace(grid, a, rinv, cfg.formq_chunks)
+        else:
+            q = blas.trmm(rinv, a, side="R", uplo="U")
     q = grid.constrain(q, P(ALL_AXES, None))
     return q, r
+
+
+def _formq_inplace(grid: Grid, a, rinv, chunks: int):
+    """Q = A @ triu(Rinv) overwriting A's row chunks in place (each Q row
+    depends only on the same A row, so the read-then-write per chunk lets
+    XLA alias the buffer — the donated operand is never duplicated)."""
+    t = jnp.triu(rinv)
+
+    def kern(a_blk, t_rep):
+        rows = a_blk.shape[0]
+        # exact division only: dynamic_slice clamps at the boundary, and a
+        # clamped final chunk would re-read rows already transformed
+        nch = chunks
+        while rows % nch:
+            nch -= 1
+        ch = rows // nch
+
+        def body(i, buf):
+            blk = lax.dynamic_slice_in_dim(buf, i * ch, ch, 0)
+            qc = _pdot(blk, t_rep).astype(buf.dtype)
+            return lax.dynamic_update_slice_in_dim(buf, qc, i * ch, 0)
+
+        return lax.fori_loop(0, nch, body, a_blk)
+
+    f = jax.shard_map(kern, mesh=grid.mesh,
+                      in_specs=(P(ALL_AXES, None), P(None, None)),
+                      out_specs=P(ALL_AXES, None))
+    return f(a, t)
 
 
 def factor_1d(grid: Grid, a, cfg: Config = Config()):

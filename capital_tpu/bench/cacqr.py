@@ -29,6 +29,8 @@ def main(argv=None):
                choices=["auto", "1d", "3d", "hybrid"])
     p.add_argument("--base-method", default="auto",
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--formq-chunks", type=int, default=1,
+                   help="form Q in place in N row chunks (memory)")
     args = p.parse_args(argv)
     apply_precision(args)
 
@@ -41,6 +43,7 @@ def main(argv=None):
 
     cfg = cacqr.Config(num_iter=args.variant, gram_policy=args.gram_policy,
                        base_method=args.base_method,
+                       formq_chunks=args.formq_chunks,
                        chol=cholinv.Config(base_method=args.base_method))
 
     # donate the input: A is dead once the first sweep's Q is formed, and the
@@ -73,9 +76,10 @@ def main(argv=None):
     force((q, r))
     times = []
     for i in range(args.num_iter):
+        del q  # free before regenerating: Q and a fresh A don't co-fit at 4M rows
         x = regen() * (1.0 + (i + 1) * 1e-7)  # fresh values each iter
         force(x)
-        del q, r
+        del r
         t0 = _time.perf_counter()
         q, r = fn(x)
         force((q, r))
@@ -98,11 +102,17 @@ def main(argv=None):
         # jitted so the 4-GB-scale temporaries fuse instead of materializing
         extra["orthogonality"] = float(jax.jit(
             lambda qq: validate.qr_orthogonality(grid, qq, layout=layout))(q))
-        # the original A was donated; regenerate from seed for the residual
-        extra["residual"] = float(jax.jit(
-            lambda aa, qq, rr: validate.qr_residual(grid, aa, qq, rr,
-                                                    layout=layout),
-            donate_argnums=0)(regen(), q, r))
+        # residual needs A, Q and QR live together (3 operand-sized
+        # buffers); skip it when they cannot co-fit in HBM
+        esz = jnp.dtype(dtype).itemsize
+        if 3 * q.size * esz < 12 * 2**30:
+            # the original A was donated; regenerate from seed
+            extra["residual"] = float(jax.jit(
+                lambda aa, qq, rr: validate.qr_residual(grid, aa, qq, rr,
+                                                        layout=layout),
+                donate_argnums=0)(regen(), q, r))
+        else:
+            extra["residual"] = "skipped (A+Q+QR exceed HBM)"
     rec = report("cacqr", secs=secs, flops=flops, extra=extra,
                  as_json=args.json)
     if args.costs:

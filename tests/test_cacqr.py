@@ -114,3 +114,22 @@ def test_factor_hybrid_rejects_square(grid122):
 
     with pytest.raises(ValueError):
         cacqr.factor_hybrid(grid122, jnp.ones((64, 16)))
+
+
+def test_formq_inplace_matches(grid_rect):
+    """Chunked in-place Q formation is numerically identical to the plain
+    trmm path."""
+    import jax
+    import numpy as np
+
+    from capital_tpu import matrix
+    from capital_tpu.algs import cacqr
+
+    m, n = 2048, 128
+    a = matrix.tall_skinny(grid_rect, m, n, jax.random.key(5))
+    base = cacqr.Config(num_iter=2, base_method="xla")
+    chunked = cacqr.Config(num_iter=2, base_method="xla", formq_chunks=4)
+    q0, r0 = cacqr.factor_1d(grid_rect, a, base)
+    q1, r1 = cacqr.factor_1d(grid_rect, a, chunked)
+    np.testing.assert_allclose(np.asarray(q0), np.asarray(q1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-6)
