@@ -144,26 +144,44 @@ def best(cands: Sequence[Candidate]) -> Candidate:
     return min(cands, key=lambda c: c.time_s)
 
 
-def write_tables(cands: Sequence[Candidate], prefix: str):
-    """Emit the reference-style report files: <prefix>_cp_times.txt (config
-    vs measured/model times) and <prefix>_cp_costs.txt (config vs analytic
-    cost vector) + <prefix>.jsonl (ref: autotune/util.h:4-61 table layout,
-    *_cp_times / *_cp_costs naming at tune.cpp:208-217)."""
+def write_tables(cands: Sequence[Candidate], prefix: str, num_devices: int = 1):
+    """Emit the reference-style report files (ref: autotune/util.h:4-61
+    layout; *_cp_* / *_cross_* naming at tune.cpp:208-217):
+
+      <prefix>_cp_times.txt    config vs measured/model times
+      <prefix>_cp_costs.txt    config vs critical-path cost vector
+      <prefix>_cross_costs.txt max-per-process + volumetric cost vectors
+      <prefix>.jsonl           machine-readable records
+
+    In uniform SPMD the critical-path and max-per-process vectors coincide
+    (every device executes the same program); volumetric = per-device x P —
+    both stated explicitly so reference-style consumers see all three."""
     keys = sorted({k for c in cands for k in c.params})
+
+    def head(f, extra):
+        f.write("  ".join(f"{k:>12}" for k in keys) + extra + "\n")
+
+    def row(f, c, extra):
+        f.write("  ".join(f"{str(c.params.get(k, '-')):>12}" for k in keys)
+                + extra + "\n")
+
     with open(f"{prefix}_cp_times.txt", "w") as f:
-        f.write("  ".join(f"{k:>12}" for k in keys)
-                + f"  {'time_s':>12}  {'model_s':>12}\n")
+        head(f, f"  {'time_s':>12}  {'model_s':>12}")
         for c in cands:
-            f.write("  ".join(f"{str(c.params.get(k, '-')):>12}" for k in keys)
-                    + f"  {c.time_s:>12.6f}  {c.model_time_s:>12.6f}\n")
+            row(f, c, f"  {c.time_s:>12.6f}  {c.model_time_s:>12.6f}")
     with open(f"{prefix}_cp_costs.txt", "w") as f:
-        f.write("  ".join(f"{k:>12}" for k in keys)
-                + f"  {'GFLOP':>12}  {'ICI_MiB':>12}  {'msgs':>8}\n")
+        head(f, f"  {'GFLOP':>12}  {'ICI_MiB':>12}  {'msgs':>8}")
         for c in cands:
-            f.write("  ".join(f"{str(c.params.get(k, '-')):>12}" for k in keys)
-                    + f"  {c.costs.get('gflop', 0):>12.3f}"
-                    + f"  {c.costs.get('ici_mib', 0):>12.3f}"
-                    + f"  {c.costs.get('msgs', 0):>8}\n")
+            row(f, c, f"  {c.costs.get('gflop', 0):>12.3f}"
+                      f"  {c.costs.get('ici_mib', 0):>12.3f}"
+                      f"  {c.costs.get('msgs', 0):>8}")
+    with open(f"{prefix}_cross_costs.txt", "w") as f:
+        head(f, f"  {'pp_GFLOP':>12}  {'vol_GFLOP':>12}  {'vol_ICI_MiB':>12}")
+        for c in cands:
+            g = c.costs.get("gflop", 0)
+            mib = c.costs.get("ici_mib", 0)
+            row(f, c, f"  {g:>12.3f}  {g * num_devices:>12.3f}"
+                      f"  {mib * num_devices:>12.3f}")
     with open(f"{prefix}.jsonl", "w") as f:
         for c in cands:
             f.write(json.dumps(c.record()) + "\n")
@@ -191,7 +209,7 @@ def main(argv=None):
         cands = sweep_cacqr(grid, a, num_iter=args.num_iter)
 
     prefix = args.prefix or f"autotune_{args.alg}"
-    write_tables(cands, prefix)
+    write_tables(cands, prefix, num_devices=grid.num_devices)
     b = best(cands)
     print(json.dumps({"best": b.params, "time_s": b.time_s}))
     return cands

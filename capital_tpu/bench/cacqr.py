@@ -63,8 +63,10 @@ def main(argv=None):
     with tracing.trace() as t:
         jax.eval_shape(fn, a.data)
 
-    def regen():
-        return matrix.tall_skinny(grid, args.m, args.n, jax.random.key(0),
+    def regen(seed: int = 0):
+        # a fresh key per iteration defeats remote result caching without
+        # materializing a perturbed copy next to the original
+        return matrix.tall_skinny(grid, args.m, args.n, jax.random.key(seed),
                                   dtype=dtype).data
 
     import time as _time
@@ -77,7 +79,7 @@ def main(argv=None):
     times = []
     for i in range(args.num_iter):
         del q  # free before regenerating: Q and a fresh A don't co-fit at 4M rows
-        x = regen() * (1.0 + (i + 1) * 1e-7)  # fresh values each iter
+        x = regen(seed=i + 1)  # fresh values each iter
         force(x)
         del r
         t0 = _time.perf_counter()
