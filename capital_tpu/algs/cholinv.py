@@ -134,13 +134,17 @@ def _base_case(grid: Grid, a, cfg: Config):
 
 
 def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
-    """Workspace-style recursion: (W, R, Rinv) are three full-size buffers
-    threaded through the whole recursion; each step reads static slices and
-    writes blocks back with dynamic_update_slice, which XLA aliases in place.
-    This mirrors the reference's in-place overwrite of A (the matrix IS the
-    workspace, ref: cholinv.hpp:87-165) and keeps peak memory at ~3 n^2
-    instead of O(depth * n^2) from per-level block re-assembly."""
-    w, r, ri = carry
+    """Workspace-style recursion with R stored IN the workspace: (W, Rinv)
+    are two full-size buffers threaded through the recursion. Each computed
+    R block overwrites exactly the A rows it just eliminated (never read as
+    A again — elimination proceeds down-right), so the matrix really IS the
+    workspace like the reference's in-place overwrite (ref:
+    cholinv.hpp:87-165), and R12 is re-read from W after the second
+    recursion instead of being kept live across it. Peak memory: 2 n^2 +
+    one off-diagonal band, vs O(depth * n^2) for per-level re-assembly.
+    All block writes are dynamic_update_slice, which XLA aliases in place.
+    Returns W whose upper triangle is R."""
+    w, ri = carry
     end = off + n
 
     if n <= bc:
@@ -159,9 +163,9 @@ def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
             )
             blk = jax.lax.slice(w, (off, off), (end, end))
             rb, rib = _base_case(grid, blk, cfg)
-            r = jax.lax.dynamic_update_slice(r, rb, (off, off))
+            w = jax.lax.dynamic_update_slice(w, rb, (off, off))
             ri = jax.lax.dynamic_update_slice(ri, rib, (off, off))
-            return w, r, ri
+            return w, ri
 
     n1 = max(bc, n >> cfg.split)
     n2 = n - n1
@@ -169,19 +173,24 @@ def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
 
     rec = _rec
     if cfg.remat:
-        rec = jax.checkpoint(_rec, static_argnums=(2, 3, 4, 6))
+        # only the carry is traced; grid/offsets/cfg are static closure state
+        ckpt = jax.checkpoint(
+            lambda carry, _off, _n: _rec(grid, carry, _off, _n, bc, cfg, False),
+            static_argnums=(1, 2),
+        )
+        rec = lambda _g, carry, _off, _n, _bc, _cfg, _top: ckpt(carry, _off, _n)
 
-    w, r, ri = rec(grid, (w, r, ri), off, n1, bc, cfg, False)
+    w, ri = rec(grid, (w, ri), off, n1, bc, cfg, False)
 
     r11inv = jax.lax.slice(ri, (off, off), (mid, mid))
     a12 = jax.lax.slice(w, (off, mid), (mid, end))
 
-    # TRSM step: R12 = R11^{-T} A12 (ref: cholinv.hpp:116-123 — transpose of
-    # R11inv + summa TRMM).
+    # TRSM step: R12 = R11^{-T} A12, written over A12 in the workspace
+    # (ref: cholinv.hpp:116-123 — transpose of R11inv + summa TRMM).
     with tracing.phase("CI::trsm"):
         r12 = summa.trmm(grid, r11inv, a12, side="L", uplo="U", trans_a=True,
                          impl=cfg.summa_impl)
-    r = jax.lax.dynamic_update_slice(r, r12, (off, mid))
+    w = jax.lax.dynamic_update_slice(w, r12, (off, mid))
 
     # Schur update: A22 <- A22 - R12^T R12 in the workspace
     # (ref: cholinv.hpp:131-134).
@@ -189,20 +198,22 @@ def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
         a22 = jax.lax.slice(w, (mid, mid), (end, end))
         s = summa.syrk(grid, r12, c=a22, alpha=-1.0, beta=1.0,
                        impl=cfg.summa_impl)
+    del r12  # re-read from W below; keeping it live would double the band
     w = jax.lax.dynamic_update_slice(w, s, (mid, mid))
 
-    w, r, ri = rec(grid, (w, r, ri), mid, n2, bc, cfg, False)
+    w, ri = rec(grid, (w, ri), mid, n2, bc, cfg, False)
 
     if cfg.complete_inv or not top:
         # R12inv = -R11inv @ R12 @ R22inv (ref: cholinv.hpp:147-156).
         with tracing.phase("CI::inv"):
             r22inv = jax.lax.slice(ri, (mid, mid), (end, end))
-            t = summa.trmm(grid, r22inv, r12, side="R", uplo="U",
+            r12w = jax.lax.slice(w, (off, mid), (mid, end))  # R12, from W
+            t = summa.trmm(grid, r22inv, r12w, side="R", uplo="U",
                            impl=cfg.summa_impl)
             r12inv = summa.trmm(grid, r11inv, t, side="L", uplo="U",
                                 alpha=-1.0, impl=cfg.summa_impl)
         ri = jax.lax.dynamic_update_slice(ri, r12inv, (off, mid))
-    return w, r, ri
+    return w, ri
 
 
 def factor(grid: Grid, a, cfg: Config = Config()):
@@ -220,8 +231,9 @@ def factor(grid: Grid, a, cfg: Config = Config()):
     n = arr.shape[0]
     bc = cfg.base_dim(grid, n)
     zeros = grid.constrain(jnp.zeros_like(arr), grid.slice_spec)
-    _, r, rinv = _rec(grid, (arr, zeros, zeros), 0, n, bc, cfg, True)
-    r = grid.constrain(r, grid.slice_spec)
+    w, rinv = _rec(grid, (arr, zeros), 0, n, bc, cfg, True)
+    # W's upper triangle IS R; the mask is elementwise so XLA aliases it
+    r = grid.constrain(jnp.triu(w), grid.slice_spec)
     rinv = grid.constrain(rinv, grid.slice_spec)
     if cfg.lower:
         # A = L L^T with L = R^T (the reference's `dir` switch)

@@ -81,3 +81,17 @@ def test_lower_direction(grid122):
     l, linv = cholinv.factor(grid122, a, lo)
     np.testing.assert_allclose(np.asarray(l), np.asarray(r).T, atol=1e-6)
     np.testing.assert_allclose(np.asarray(linv), np.asarray(rinv).T, atol=1e-6)
+
+
+def test_remat_matches(grid122):
+    """FlushIntermediates analog: remat produces identical results."""
+    import numpy as np
+
+    n = 128
+    a = _spd(grid122, n, seed=11)
+    base = cholinv.Config(min_bc=32, base_method="xla")
+    remat = cholinv.Config(min_bc=32, base_method="xla", remat=True)
+    r0, ri0 = cholinv.factor(grid122, a, base)
+    r1, ri1 = cholinv.factor(grid122, a, remat)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ri0), np.asarray(ri1), atol=1e-6)
