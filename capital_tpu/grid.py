@@ -136,6 +136,33 @@ class Grid:
         return cls._build(devs, (c, d, c), layout)
 
     @classmethod
+    def hybrid(cls, c: int = 1, d: int | None = None) -> "Grid":
+        """Multi-host grid: the slice's row axis spans hosts (DCN), columns
+        and depth stay intra-host (ICI), via mesh_utils'
+        create_hybrid_device_mesh. Collectives along 'x'/'z' then ride ICI
+        rings and only the row-axis reductions cross DCN — the layout the
+        Gram two-stage tree (gram_policy='two_stage') is shaped for.
+
+        Single-process fallback: behaves like square() when only one host
+        is visible."""
+        import jax.experimental.mesh_utils as mesh_utils
+
+        devs = jax.devices()
+        p = len(devs)
+        if d is None:
+            d = math.isqrt(p // c)
+        if c * d * d != p:
+            raise ValueError(f"hybrid grid needs c*d*d == P: c={c}, d={d}, P={p}")
+        n_hosts = max(1, len({getattr(dev, "process_index", 0) for dev in devs}))
+        if n_hosts == 1:
+            return cls.square(c=c, d=d, devices=devs)
+        per_host = (c, d // n_hosts if d % n_hosts == 0 else d, d)
+        dcn = (1, n_hosts if d % n_hosts == 0 else 1, 1)
+        arr = mesh_utils.create_hybrid_device_mesh(
+            per_host, dcn, devices=devs, allow_split_physical_axes=True)
+        return cls(mesh=Mesh(arr, ALL_AXES))
+
+    @classmethod
     def _build(cls, devs: list, shape: tuple[int, int, int], layout: int) -> "Grid":
         arr = np.asarray(devs)
         c, d1, d2 = shape
