@@ -71,6 +71,9 @@ class Config:
     # A + Q to A + chunk, which is what lets near-HBM-sized operands
     # factor on one chip. 1 = plain out-of-place trmm.
     formq_chunks: int = 1
+    # Gram kernel: 'dot' (XLA), 'tri' (triangle-aware Pallas syrk, half the
+    # MXU flops), 'auto' (tri for f32 on TPU)
+    gram_kernel: str = "auto"
     chol: _cholinv.Config = field(default_factory=_cholinv.Config)
 
 
@@ -78,23 +81,44 @@ class Config:
 # Gram reductions (the only collectives on the 1D path)
 # ---------------------------------------------------------------------------
 
-def gram_1d(grid: Grid, a, policy: str = "allreduce"):
+def _resolve_gram_kernel(kernel: str, dtype, platform: str) -> str:
+    """'tri' = triangle-aware Pallas syrk (half the MXU flops — the dsyrk
+    saving XLA's dot lacks, ref: the reference delegates to MKL dsyrk,
+    src/blas/interface.hpp:77-97); 'auto' picks it for f32 on TPU where it
+    measures ~2x on Gram compute (bf16 grams are near memory-bound and
+    don't benefit)."""
+    if kernel == "auto":
+        return "tri" if (platform in ("tpu", "axon")
+                         and dtype == jnp.float32) else "dot"
+    return kernel
+
+
+def _local_gram(a_blk, kernel: str):
+    if kernel == "tri":
+        from capital_tpu.ops.pallas_syrk import syrk_upper
+
+        return syrk_upper(a_blk)
+    return _pdot(a_blk.T, a_blk)
+
+
+def gram_1d(grid: Grid, a, policy: str = "allreduce", kernel: str = "dot"):
     """G = A^T A with A sharded P(('z','y','x'), None). Returns G replicated.
 
     (ref: local _syrk + MPI_Allreduce on world, cacqr.hpp:14-17 +
     policy.h:18-24)."""
     n = a.shape[1]
+    kernel = _resolve_gram_kernel(kernel, a.dtype, grid.platform)
 
     if policy == "allreduce":
         def kern(a_blk):
-            g = _pdot(a_blk.T, a_blk)
+            g = _local_gram(a_blk, kernel)
             return lax.psum(g.astype(a_blk.dtype), ALL_AXES)
     elif policy == "two_stage":
         # reduce-scatter over the long mesh dimension, then all-gather:
         # same result, fewer bytes per link on big meshes
         # (ref: two-stage column_contig/column_alt tree, cacqr.hpp:146-149).
         def kern(a_blk):
-            g = _pdot(a_blk.T, a_blk)
+            g = _local_gram(a_blk, kernel)
             g = g.astype(a_blk.dtype)
             g = lax.psum_scatter(g, ALL_AXES, scatter_dimension=0, tiled=True)
             return lax.all_gather(g, ALL_AXES, axis=0, tiled=True)
@@ -106,9 +130,10 @@ def gram_1d(grid: Grid, a, policy: str = "allreduce"):
         mesh=grid.mesh,
         in_specs=P(ALL_AXES, None),
         out_specs=P(None, None),
-        # the scatter+gather pair provably replicates the result, but the
-        # static varying-axis checker cannot see through all_gather
-        check_vma=(policy == "allreduce"),
+        # vma checking off when (a) the scatter+gather pair provably
+        # replicates but the static checker can't see it, or (b) the Pallas
+        # gram kernel is used (pallas_call outputs carry no vma annotation)
+        check_vma=(policy == "allreduce" and kernel != "tri"),
     )
     return f(a)
 
@@ -126,7 +151,7 @@ def _sweep_1d(grid: Grid, a, cfg: Config):
     with tracing.phase("CQR::gram"):
         tracing.record("gram_1d", flops=2.0 * m * n * n / p,
                        comm_bytes=tracing.psum_bytes(n * n * esz, p), msgs=1)
-        g = gram_1d(grid, a, cfg.gram_policy)
+        g = gram_1d(grid, a, cfg.gram_policy, kernel=cfg.gram_kernel)
     with tracing.phase("CQR::formR"):
         tracing.record("chol_inv", flops=2.0 * n**3 / 3.0)
         r, rinv = lapack.chol_inv(g, lower=False, method=cfg.base_method,

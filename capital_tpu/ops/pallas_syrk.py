@@ -1,0 +1,133 @@
+"""Triangle-aware Gram kernel: G = A^T A computing only upper tiles.
+
+The Gram matrix is THE cost of CholeskyQR (ref: the local _syrk the
+reference delegates to MKL dsyrk, src/blas/interface.hpp:77-97 — BLAS syrk
+also skips half the flops; XLA has no syrk, so jnp.dot(A.T, A) computes all
+n^2). This kernel restores the 2x saving on the MXU:
+
+  grid = (num upper tile pairs, num row chunks); the pair index is mapped
+  to tile coordinates (i, j), i <= j, via scalar-prefetched lookup tables,
+  so the BlockSpec index maps can route the right column panels of A into
+  VMEM. The row-chunk dimension is sequential on TPU: each step accumulates
+  A_chunk[:, iT:(i+1)T]^T @ A_chunk[:, jT:(j+1)T] into the (i, j) output
+  tile in f32, writing the transposed value into (j, i) at the final chunk
+  so the caller gets a full symmetric matrix.
+
+Inputs may be f32 (contracted with HIGHEST precision) or bf16 (native MXU
+rate, f32 accumulation). Only profitable when m >> n (the compute-bound
+regime); callers fall back to a plain dot otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_T = 256    # column tile (output tile side)
+_MC = 1024  # row chunk
+# VMEM: 2 input blocks (MC*T*4) + 2 output tiles (T^2*4) + f32 acc, all
+# double-buffered by the pipeline: ~2*(2*1M) + 2*(2*0.25M) + 0.25M ~ 5.25M
+
+
+_FOLD = 32  # chunks per first-level accumulator
+
+
+def _kernel(ti_ref, tj_ref, ai_ref, aj_ref, g_ref, gt_ref, acc, acc2):
+    """One (pair, chunk) step. ai/aj: (MC, T) column panels of this chunk;
+    g/gt: (T, T) output tiles at (i, j) and (j, i); acc/acc2: two-level f32
+    accumulation — folding every _FOLD chunks into acc2 bounds the
+    sequential-add error at ~(nc/_FOLD + _FOLD)*eps instead of nc*eps.
+    (Kahan compensation is cancelled by the platform's fast-math flags;
+    plain two-level summation is not.)"""
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        acc2[:] = jnp.zeros_like(acc2)
+
+    if ai_ref.dtype == jnp.bfloat16:
+        # Mosaic rejects dim-0 contraction on bf16 lhs ("Bad lhs type");
+        # an explicit in-VMEM transpose keeps the matmul at bf16 MXU rate
+        part = jnp.dot(ai_ref[:].T, aj_ref[:],
+                       preferred_element_type=jnp.float32)
+    else:
+        part = lax.dot_general(
+            ai_ref[:], aj_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+    acc[:] += part
+
+    @pl.when(jnp.logical_and((c + 1) % _FOLD == 0, c != nc - 1))
+    def _():
+        acc2[:] += acc[:]
+        acc[:] = jnp.zeros_like(acc)
+
+    @pl.when(c == nc - 1)
+    def _():
+        total = acc2[:] + acc[:]
+        g_ref[:] = total.astype(g_ref.dtype)
+        gt_ref[:] = total.T.astype(gt_ref.dtype)
+
+
+def syrk_upper(a: jax.Array, out_dtype=jnp.float32,
+               interpret: bool = False) -> jax.Array:
+    """Full symmetric G = A^T A, computed as upper tiles only (~half the
+    MXU flops of a plain dot for n >> T)."""
+    m, n = a.shape
+    if n % _T or m % _MC:
+        # ragged shapes: plain dot (still correct, no triangle saving)
+        return jnp.dot(a.T, a, preferred_element_type=jnp.float32,
+                       precision=lax.Precision.HIGHEST).astype(out_dtype)
+    nt = n // _T
+    pairs = [(i, j) for i in range(nt) for j in range(nt) if i <= j]
+    ti = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
+    tj = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
+    nc = m // _MC
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ti, tj lookup tables
+        grid=(len(pairs), nc),
+        in_specs=[
+            pl.BlockSpec((_MC, _T), lambda p, c, ti, tj: (c, ti[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_MC, _T), lambda p, c, ti, tj: (c, tj[p]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_T, _T), lambda p, c, ti, tj: (ti[p], tj[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_T, _T), lambda p, c, ti, tj: (tj[p], ti[p]),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((_T, _T), jnp.float32),
+                        pltpu.VMEM((_T, _T), jnp.float32)],
+    )
+    g, gt = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n), out_dtype),
+            jax.ShapeDtypeStruct((n, n), out_dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(m) * n * (n + _T),  # ~2·m·n²/2
+            bytes_accessed=int(m) * n * a.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+    )(ti, tj, a, a)
+    # g holds the upper tiles, gt the mirrored lower tiles (the diagonal
+    # tiles land in both, identically); stitch them into the full symmetric
+    # matrix with one elementwise select.
+    row_t = lax.broadcasted_iota(jnp.int32, (n, n), 0) // _T
+    col_t = lax.broadcasted_iota(jnp.int32, (n, n), 1) // _T
+    return jnp.where(row_t <= col_t, g, gt)

@@ -65,7 +65,10 @@ def qr_orthogonality(grid: Grid, q, impl: str = "shard_map", layout: str = "auto
     if layout == "auto":
         layout = "1d" if _is_row_sharded(q) else "2d"
     if layout == "1d":
-        g = gram_1d(grid, q)
+        # kernel='auto' -> the two-level-accumulating Pallas syrk on TPU:
+        # XLA's plain dot loses ~2 digits over 2^19-long contractions and a
+        # validator must not dominate the quantity it measures
+        g = gram_1d(grid, q, kernel="auto")
     else:
         g = summa.syrk(grid, q, impl=impl)
     n = g.shape[0]

@@ -66,3 +66,27 @@ def test_lower_variant():
 def test_rejects_unaligned():
     with pytest.raises(ValueError):
         chol_inv_pallas(jnp.eye(100), interpret=True)
+
+
+def test_syrk_upper_interpret():
+    """Triangle-aware Gram kernel vs dense oracle (interpret mode).
+
+    ref: the dsyrk half-flop saving of src/blas/interface.hpp:77-97, which
+    XLA's dot lacks."""
+    from capital_tpu.ops.pallas_syrk import syrk_upper
+
+    m, n = 4096, 512
+    a = jax.random.uniform(jax.random.key(2), (m, n), minval=-0.5, maxval=0.5)
+    g = syrk_upper(a, interpret=True)
+    ref = a.T @ a
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), atol=2e-3)
+    # symmetric output
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g).T, atol=0)
+
+
+def test_syrk_upper_ragged_fallback():
+    from capital_tpu.ops.pallas_syrk import syrk_upper
+
+    a = jax.random.uniform(jax.random.key(3), (1000, 200))
+    g = syrk_upper(a, interpret=True)  # falls back to plain dot
+    np.testing.assert_allclose(np.asarray(g), np.asarray(a.T @ a), atol=2e-3)
