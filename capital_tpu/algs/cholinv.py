@@ -25,14 +25,12 @@ What the reference does with template machinery maps onto JAX as:
     (recursion unrolls at trace time over static block sizes).
   * serialize sub-block extraction (serialize.hpp)     -> lax.slice on the
     sharded global array; GSPMD re-shards slices.
-  * base-case policies (policy.h:160-514): the four MPI aggregation
-    strategies collapse to the one that is right on TPU — fully-replicated
-    redundant compute (`ReplicateCommComp`, policy.h:160-224): all-gather
-    the bc x bc block to every chip and factor it identically with the
-    fused Pallas chol_inv kernel. Gathering to one host (NoReplication,
-    policy.h:307-414) would serialize the pod behind one chip and a host
-    round-trip — exactly what TPU designs avoid. The policy enum is kept
-    as an autotuning axis for layer-replicated variants.
+  * base-case policies (policy.h:160-514)          -> BasePolicy dispatch in
+    `_base_case`: REPLICATED all-gathers the bc x bc block to every chip and
+    factors it identically; LAYER factors on the z==0 depth layer only and
+    broadcasts along depth; GATHER factors on a single device and
+    broadcasts mesh-wide. All three are live schedules (lax.cond on mesh
+    axis indices inside shard_map) and an autotuning axis.
   * IntermediatesPolicy Save/Flush (policy.h:21-156)   -> XLA buffer
     liveness + optional jax.checkpoint on the recursion (cfg.remat).
 """
@@ -56,24 +54,29 @@ from capital_tpu.parallel import summa
 class BasePolicy(enum.Enum):
     """Base-case compute placement (ref: cholinv/policy.h:160-514).
 
-    The reference's four MPI aggregation strategies and their TPU fate:
+    The reference's four MPI aggregation strategies, each a REAL schedule
+    here (dispatched in `_base_case`):
 
     REPLICATED (ReplicateCommComp, policy.h:160-224): all-gather the block,
-        every chip factors it redundantly. The ONLY schedule that makes
-        sense on TPU — depth layers hold identical replicas already, the
-        all-gather is one sharding constraint, and redundant (bc)^3 compute
-        is cheaper than any round-trip.
-    LAYER (ReplicateComp, policy.h:226-305): compute on the z==0 layer then
-        broadcast along depth. In SPMD-JAX the data on every layer is
-        bitwise identical, so "compute on one layer + broadcast" and
-        "compute on all layers" are the same program with extra collectives
-        added; aliases REPLICATED.
-    GATHER (NoReplication, policy.h:307-414) and GATHER_OVERLAP
-        (NoReplicationOverlap, policy.h:416-514): gather to rank (0,0,0),
-        solo compute, scatter back (optionally overlapped). On TPU this
-        serializes the pod behind one chip; aliases REPLICATED. Retained so
-        autotune configs written for the reference's policy ids remain
-        valid.
+        every chip factors it redundantly. Zero extra collectives (depth
+        layers hold identical replicas already); redundant (bc)^3 compute.
+        The usual TPU winner — but not always: on large-c meshes with a big
+        base case the c-fold redundant potrf+trtri is real MXU time LAYER
+        can reclaim.
+    LAYER (ReplicateComp, policy.h:226-305): factor only on the z==0 depth
+        layer (a lax.cond on the depth axis index inside shard_map — non-
+        root layers genuinely skip the compute), then broadcast along depth
+        as a psum against zeros. Trades a c-way depth collective for a c-x
+        compute saving: wins when bc^3 compute > n^2 depth-broadcast time.
+    GATHER (NoReplication, policy.h:307-414): factor only on device
+        (z,y,x) == (0,0,0), broadcast to everyone (psum over the whole
+        mesh). P-1 devices idle through the base case; exists as the
+        reference's measurement point for "no redundant compute at all" and
+        as the autotuner's lower anchor.
+    GATHER_OVERLAP (NoReplicationOverlap, policy.h:416-514): alias of
+        GATHER — the reference's overlap is a hand-rolled MPI_Iscatter
+        pipeline; XLA's async scheduler already overlaps the broadcast with
+        whatever follows, so the two schedules coincide here.
     """
 
     REPLICATED = "replicated"
@@ -94,7 +97,13 @@ class Config:
     complete_inv: assemble off-diagonal R12inv blocks at the top level too
                   (ref: cholinv.hpp:147-156).
     base_method:  local kernel for the replicated leaf ('pallas'|'xla'|'auto').
-    summa_impl:   'shard_map' (explicit collectives) or 'gspmd'.
+    base_policy:  WHERE the leaf is factored (BasePolicy / its string value)
+                  — the reference's BaseCasePolicy template axis.
+    summa_impl:   'shard_map' (explicit collectives), 'ring' (Cannon
+                  rotation with compute/ppermute overlap) or 'gspmd'.
+    summa_chunks: K-chunked gather/gemm pipelining depth for the shard_map
+                  impl (the reference's num_chunks Ibcast knob,
+                  summa.hpp:195-215).
     remat:        jax.checkpoint the recursion branches (FlushIntermediates
                   analog — trades FLOPs for peak memory).
     """
@@ -105,6 +114,7 @@ class Config:
     base_method: str = "auto"
     base_policy: BasePolicy = BasePolicy.REPLICATED
     summa_impl: str = "shard_map"
+    summa_chunks: int = 1
     remat: bool = False
     # factorization direction (ref: the `dir` knob in the info pack,
     # cholinv.h:26-43): False -> A = R^T R (upper R), True -> A = L L^T
@@ -114,20 +124,78 @@ class Config:
     # bc 512-1024 beats 128 by ~1.5x; the pallas leaf covers up to 1024
     min_bc: int = 512
 
+    def __post_init__(self):
+        if isinstance(self.base_policy, str):
+            object.__setattr__(self, "base_policy",
+                               BasePolicy(self.base_policy))
+
     def base_dim(self, grid: Grid, n: int) -> int:
         bc = max(self.min_bc, grid.d * grid.c) << self.bc_mult
         return min(bc, n)
 
 
-def _base_case(grid: Grid, a, cfg: Config):
-    """Replicated leaf: all-gather the block, factor+invert on every chip.
+def _policy_axes(grid: Grid, policy: BasePolicy):
+    """Mesh axes whose index must be 0 for a device to compute the leaf.
+    Empty tuple = every device computes (REPLICATED)."""
+    if policy in (BasePolicy.GATHER, BasePolicy.GATHER_OVERLAP):
+        return tuple(ax for ax in (grid.ax_z, grid.ax_y, grid.ax_x)
+                     if ax is not None and grid.mesh.shape[ax] > 1)
+    if policy is BasePolicy.LAYER:
+        if grid.ax_z is not None and grid.c > 1:
+            return (grid.ax_z,)
+    return ()
 
-    The with_sharding_constraint to P(None, None) is the all-gather on the
-    slice axes (ref: MPI_Allgather in policy.h:176); the constraint back to
-    P('y','x') is a local slice (free)."""
+
+def _base_case(grid: Grid, a, cfg: Config):
+    """Leaf factorization with placement dispatched on cfg.base_policy
+    (ref: the four BaseCasePolicy classes, policy.h:160-514).
+
+    All policies start from the same "gather": the with_sharding_constraint
+    to P(None, None) is the all-gather on the slice axes (ref: MPI_Allgather
+    in policy.h:176); the constraint back to P('y','x') is a local slice
+    (free). They differ in WHO factors the replicated block:
+
+      REPLICATED — everyone (no further collectives);
+      LAYER      — the z==0 layer, then psum over the depth axis;
+      GATHER     — device (0,..,0), then psum over the whole mesh.
+
+    The conditional compute is a lax.cond on mesh axis indices inside a
+    shard_map — real device-local control flow, so the skipped devices do
+    no MXU work while the broadcast-psum is in flight."""
     a_rep = grid.constrain(a, P(None, None))
-    r, rinv = lapack.chol_inv(a_rep, lower=False, method=cfg.base_method,
-                              platform=grid.platform)
+    axes = _policy_axes(grid, cfg.base_policy)
+    if not axes:
+        r, rinv = lapack.chol_inv(a_rep, lower=False, method=cfg.base_method,
+                                  platform=grid.platform)
+    else:
+        def kern(blk):
+            root = jnp.bool_(True)
+            for ax in axes:
+                root = jnp.logical_and(root, jax.lax.axis_index(ax) == 0)
+
+            def compute(b):
+                return lapack.chol_inv(b, lower=False,
+                                       method=cfg.base_method,
+                                       platform=grid.platform)
+
+            def idle(b):
+                return jnp.zeros_like(b), jnp.zeros_like(b)
+
+            r_l, ri_l = jax.lax.cond(root, compute, idle, blk)
+            # broadcast-from-root as a psum against zeros (ref: the
+            # MPI_Bcast along depth at policy.h:288-289 / the scatter+bcast
+            # at policy.h:386-413)
+            return jax.lax.psum(r_l, axes), jax.lax.psum(ri_l, axes)
+
+        f = jax.shard_map(
+            kern, mesh=grid.mesh,
+            in_specs=P(None, None), out_specs=P(None, None),
+            # the value IS replicated over the unmapped axes (identical
+            # replicas in, same cond+psum everywhere) but the static vma
+            # checker cannot see through the axis-index cond
+            check_vma=False,
+        )
+        r, rinv = f(a_rep)
     r = grid.constrain(r, grid.slice_spec)
     rinv = grid.constrain(rinv, grid.slice_spec)
     return r, rinv
@@ -189,7 +257,7 @@ def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
     # (ref: cholinv.hpp:116-123 — transpose of R11inv + summa TRMM).
     with tracing.phase("CI::trsm"):
         r12 = summa.trmm(grid, r11inv, a12, side="L", uplo="U", trans_a=True,
-                         impl=cfg.summa_impl)
+                         impl=cfg.summa_impl, num_chunks=cfg.summa_chunks)
     w = jax.lax.dynamic_update_slice(w, r12, (off, mid))
 
     # Schur update: A22 <- A22 - R12^T R12 in the workspace
@@ -197,7 +265,7 @@ def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
     with tracing.phase("CI::tmu"):
         a22 = jax.lax.slice(w, (mid, mid), (end, end))
         s = summa.syrk(grid, r12, c=a22, alpha=-1.0, beta=1.0,
-                       impl=cfg.summa_impl)
+                       impl=cfg.summa_impl, num_chunks=cfg.summa_chunks)
     del r12  # re-read from W below; keeping it live would double the band
     w = jax.lax.dynamic_update_slice(w, s, (mid, mid))
 
@@ -209,9 +277,10 @@ def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
             r22inv = jax.lax.slice(ri, (mid, mid), (end, end))
             r12w = jax.lax.slice(w, (off, mid), (mid, end))  # R12, from W
             t = summa.trmm(grid, r22inv, r12w, side="R", uplo="U",
-                           impl=cfg.summa_impl)
+                           impl=cfg.summa_impl, num_chunks=cfg.summa_chunks)
             r12inv = summa.trmm(grid, r11inv, t, side="L", uplo="U",
-                                alpha=-1.0, impl=cfg.summa_impl)
+                                alpha=-1.0, impl=cfg.summa_impl,
+                                num_chunks=cfg.summa_chunks)
         ri = jax.lax.dynamic_update_slice(ri, r12inv, (off, mid))
     return w, ri
 

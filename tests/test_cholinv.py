@@ -95,3 +95,30 @@ def test_remat_matches(grid122):
     r1, ri1 = cholinv.factor(grid122, a, remat)
     np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(ri0), np.asarray(ri1), atol=1e-6)
+
+
+@pytest.mark.parametrize("policy", ["layer", "gather", "gather_overlap"])
+def test_base_policy_matches_replicated(grid222, policy):
+    """The reference's four BaseCasePolicy schedules agree numerically
+    (ref: policy.h:160-514). LAYER computes on z==0 + depth broadcast;
+    GATHER computes on one device + mesh-wide broadcast; both must equal
+    the redundant-everywhere REPLICATED result bit-for-bit (same local
+    kernel, broadcast of identical values)."""
+    n = 256
+    a = _spd(grid222, n, seed=13)
+    base = cholinv.Config(min_bc=64, base_method="xla")
+    alt = cholinv.Config(min_bc=64, base_method="xla", base_policy=policy)
+    r0, ri0 = cholinv.factor(grid222, a, base)
+    r1, ri1 = cholinv.factor(grid222, a, alt)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(ri0), np.asarray(ri1))
+
+
+def test_base_policy_under_jit(grid222):
+    """LAYER's axis-index cond must be jit-traceable over the mesh."""
+    n = 128
+    a = _spd(grid222, n, seed=14)
+    cfg = cholinv.Config(min_bc=64, base_method="xla", base_policy="layer")
+    r, rinv = jax.jit(lambda x: cholinv.factor(grid222, x, cfg))(a)
+    assert float(validate.cholesky_residual(grid222, a, r)) < 5e-6
+    assert float(validate.inverse_residual(grid222, r, rinv)) < 5e-6
