@@ -13,6 +13,15 @@ name "diaginvert" records the intended schedule, completed here:
 Communication-avoiding in the same sense as cholinv's TRSM step: the only
 collectives are the summa gathers/psums of the panel gemms, and all
 triangular-inverse compute happens once up front.
+
+The substitution is a single `lax.scan` over row panels: the carry is the
+(masked-triangular-zeroed) X workspace, and each step does one full-width
+panel gemm `B_i - A[i,:] @ X` — blocks of X not yet computed are zero, and
+blocks of A on the wrong side of the diagonal are zero, so the masked
+full-width product equals the triangular partial sum. Trace size is
+O(1) in the panel count (the reference's intended loop would have been
+runtime-iterated too; a Python-unrolled version at n=65536/nb=1024 would
+trace ~2,080 gemms).
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from capital_tpu import tracing
@@ -38,8 +48,17 @@ class Config:
     nb: int = 1024
     tri: rectri.Config = field(default_factory=rectri.Config)
 
-    def panel(self, n: int) -> int:
-        return min(self.nb, n)
+    def panel(self, grid: Grid, n: int) -> int:
+        """Largest panel <= nb that divides n and satisfies summa's
+        divisibility (d | nb for the panel gemms, d*c | nb for the
+        diagonal-block gemm contraction)."""
+        nb = min(self.nb, n)
+        step = grid.d1 * grid.c
+        while nb > step and (n % nb or nb % step):
+            nb -= step if nb % step == 0 else nb % step
+        if n % nb:
+            nb = n  # no valid panel split: solve as a single panel
+        return nb
 
 
 def solve(grid: Grid, a, b, *, side: str = "L", lower: bool = True,
@@ -61,33 +80,57 @@ def solve(grid: Grid, a, b, *, side: str = "L", lower: bool = True,
                    side="L", lower=not lower, cfg=cfg)
         return summa.transpose(grid, xt, impl=cfg.tri.summa_impl)
 
-    n = a.shape[0]
-    nb = cfg.panel(n)
-    num_p = -(-n // nb)
+    n, m = a.shape[0], b.shape[1]
+    nb = cfg.panel(grid, n)
+    num_p = n // nb
     impl = cfg.tri.summa_impl
 
-    # 1. invert every diagonal block in one pass (the "diaginvert" idea)
-    with tracing.phase("TRSM::diaginvert"):
-        dinv = []
-        for i in range(num_p):
-            s, e = i * nb, min((i + 1) * nb, n)
-            blk = jax.lax.slice(a, (s, s), (e, e))
-            dinv.append(rectri.invert(grid, blk, lower=lower, cfg=cfg.tri))
+    # mask the wrong triangle so the full-width panel gemm in the scan sees
+    # zeros where the substitution sum must not reach
+    a = jnp.tril(a) if lower else jnp.triu(a)
 
-    # 2. block substitution (forward for lower, backward for upper)
-    order = range(num_p) if lower else range(num_p - 1, -1, -1)
-    x = grid.constrain(jnp.zeros_like(b), grid.slice_spec)
-    with tracing.phase("TRSM::substitute"):
-        for i in order:
-            s, e = i * nb, min((i + 1) * nb, n)
-            rhs = jax.lax.slice(b, (s, 0), (e, b.shape[1]))
-            js = range(i) if lower else range(num_p - 1, i, -1)
-            for j in js:
-                sj, ej = j * nb, min((j + 1) * nb, n)
-                a_ij = jax.lax.slice(a, (s, sj), (e, ej))
-                x_j = jax.lax.slice(x, (sj, 0), (ej, x.shape[1]))
-                rhs = summa.gemm(grid, a_ij, x_j, c=rhs, alpha=-1.0, beta=1.0,
-                                 impl=impl)
-            x_i = summa.gemm(grid, dinv[i], rhs, impl=impl)
-            x = jax.lax.dynamic_update_slice(x, x_i, (s, 0))
+    # 1. invert every diagonal block up front (the "diaginvert" idea) and
+    # stack them into ONE (num_p, nb, nb) array for the scan. The loop here
+    # is over panels of the trace-static panel count only for the slicing;
+    # each inversion is the distributed rectri.
+    with tracing.phase("TRSM::diaginvert"):
+        dinv = jnp.stack([
+            rectri.invert(grid, jax.lax.slice(a, (i * nb, i * nb),
+                                              ((i + 1) * nb, (i + 1) * nb)),
+                          lower=lower, cfg=cfg.tri)
+            for i in range(num_p)
+        ])
+        dinv = grid.constrain(dinv, P(None, grid.ax_y, grid.ax_x))
+
+    # 2. block substitution as one lax.scan over row panels (forward for
+    # lower, backward for upper via reverse=True)
+    a_rows = grid.constrain(a.reshape(num_p, nb, n),
+                            P(None, grid.ax_y, grid.ax_x))
+    b_rows = grid.constrain(b.reshape(num_p, nb, m),
+                            P(None, grid.ax_y, grid.ax_x))
+    offs = jnp.arange(num_p, dtype=jnp.int32) * nb
+    x0 = grid.constrain(jnp.zeros_like(b), grid.slice_spec)
+
+    # scan bodies trace once: record the whole substitution's cost here
+    # (num_p panel gemms of (nb x n)@(n x m) + num_p (nb x nb)@(nb x m))
+    p = max(grid.num_devices, 1)
+    tracing.record(
+        "trsm.substitute",
+        flops=2.0 * num_p * (nb * n * m + nb * nb * m) / p,
+        comm_bytes=num_p * tracing.psum_bytes(
+            nb * m * a.dtype.itemsize / max(grid.d1 * grid.d2, 1), grid.c),
+        msgs=3 * num_p,
+    )
+
+    def body(x, inp):
+        a_row, b_i, d_i, off = inp
+        with tracing.phase("TRSM::substitute"):
+            rhs = summa.gemm(grid, a_row, x, c=b_i, alpha=-1.0, beta=1.0,
+                             impl=impl)
+            x_i = summa.gemm(grid, d_i, rhs, impl=impl)
+        x = lax.dynamic_update_slice(x, x_i, (off, 0))
+        return grid.constrain(x, grid.slice_spec), None
+
+    x, _ = lax.scan(body, x0, (a_rows, b_rows, dinv, offs),
+                    reverse=not lower)
     return x

@@ -78,3 +78,25 @@ def test_trsm_right(grid122):
     x = trsm.solve(grid122, t, b, side="R", lower=True, cfg=cfg)
     err = jnp.linalg.norm(x @ t - b) / jnp.linalg.norm(b)
     assert float(err) < 1e-5, float(err)
+
+
+def test_trsm_trace_is_panel_count_independent(grid122):
+    """The substitution is one lax.scan over panels: top-level trace size
+    must not grow with the panel count (the reference-scale n=65536/nb=1024
+    case would otherwise unroll ~2,080 gemms)."""
+    n, m = 512, 64
+    key = jax.random.key(21)
+    t = jnp.tril(jax.random.uniform(key, (n, n))) + n * jnp.eye(n)
+    b = jax.random.uniform(jax.random.key(22), (n, m))
+    cfg = trsm.Config(nb=64, tri=rectri.Config(min_bc=64, base_method="xla"))
+    jaxpr = jax.make_jaxpr(
+        lambda a_, b_: trsm.solve(grid122, a_, b_, cfg=cfg))(t, b)
+    prims = [e.primitive.name for e in jaxpr.eqns]
+    assert "scan" in prims
+    # substitution gemms live inside the single scan, not unrolled at top
+    # level: with 8 panels an unrolled version would have >= 36 top-level
+    # shard_map gemms; the scan body has 2
+    assert prims.count("shard_map") < 30
+    x = trsm.solve(grid122, t, b, cfg=cfg)
+    ref = np.linalg.solve(np.asarray(t, np.float64), np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=2e-4, atol=2e-4)
