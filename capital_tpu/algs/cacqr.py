@@ -43,7 +43,7 @@ from jax.sharding import PartitionSpec as P
 
 from capital_tpu import tracing
 from capital_tpu.ops.precision import dot as _pdot
-from capital_tpu.grid import Grid, ALL_AXES, AXIS_X, AXIS_Y
+from capital_tpu.grid import Grid, ALL_AXES, AXIS_X, AXIS_Y, AXIS_Z
 from capital_tpu.matrix import DistMatrix
 from capital_tpu.ops import blas, lapack
 from capital_tpu.algs import cholinv as _cholinv
@@ -56,7 +56,9 @@ class Config:
 
     num_iter:     1 = CholeskyQR, 2 = CholeskyQR2 (ref: bench/qr/cacqr.cpp:14
                   variant knob).
-    gram_policy:  'allreduce' | 'two_stage' (ref: cacqr.hpp:89-99 vs 146-149).
+    gram_policy:  'allreduce' | 'two_stage' | 'packed' (ref: cacqr.hpp:89-99
+                  vs 146-149; 'packed' = the Serialize policy's half-word
+                  triangular allreduce, policy.h:77-85).
     local_thresh: Gram side below which the 1D replicated path is used.
     chol:         config of the nested cholinv (ref: cacqr.h:17 — cacqr is
                   parameterized by the cholinv type).
@@ -101,6 +103,41 @@ def _local_gram(a_blk, kernel: str):
     return _pdot(a_blk.T, a_blk)
 
 
+# -- packed-triangle form (ref: the Serialize gram policy allreduces the
+# n(n+1)/2-word packed uppertri form instead of the full square,
+# src/alg/qr/cacqr/policy.h:77-85). TPU-native packing is TILE-granular:
+# the upper T x T tiles (i <= j) are stacked into one (npairs, T, T) array
+# — contiguous block moves instead of an elementwise triangular gather, and
+# the same ~2x byte saving: npairs*T^2 = n(n+T)/2 words.
+
+_PACK_T = 128  # pack tile; 128 keeps every slice lane-aligned
+
+
+def _tri_pack_size(n: int, t: int = _PACK_T) -> int:
+    nt = n // t
+    return (nt * (nt + 1) // 2) * t * t
+
+
+def _pack_tri(g, t: int = _PACK_T):
+    n = g.shape[0]
+    nt = n // t
+    idx = jnp.asarray([i * nt + j for i in range(nt) for j in range(i, nt)])
+    tiles = g.reshape(nt, t, nt, t).transpose(0, 2, 1, 3).reshape(nt * nt, t, t)
+    return jnp.take(tiles, idx, axis=0)
+
+
+def _unpack_tri(packed, n: int, t: int = _PACK_T):
+    nt = n // t
+    idx = jnp.asarray([i * nt + j for i in range(nt) for j in range(i, nt)])
+    tiles = jnp.zeros((nt * nt, t, t), packed.dtype).at[idx].set(packed)
+    g = tiles.reshape(nt, nt, t, t).transpose(0, 2, 1, 3).reshape(n, n)
+    # mirror the strictly-lower tiles from the upper ones (diagonal tiles
+    # were packed whole, so only whole-tile mirroring is needed)
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // t
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // t
+    return jnp.where(row_t > col_t, g.T, g)
+
+
 def gram_1d(grid: Grid, a, policy: str = "allreduce", kernel: str = "dot"):
     """G = A^T A with A sharded P(('z','y','x'), None). Returns G replicated.
 
@@ -122,6 +159,18 @@ def gram_1d(grid: Grid, a, policy: str = "allreduce", kernel: str = "dot"):
             g = g.astype(a_blk.dtype)
             g = lax.psum_scatter(g, ALL_AXES, scatter_dimension=0, tiled=True)
             return lax.all_gather(g, ALL_AXES, axis=0, tiled=True)
+    elif policy == "packed":
+        # allreduce the packed upper-triangle form — half the words on the
+        # wire, pack/unpack stays on device around the psum (ref: the
+        # Serialize gram policy, policy.h:77-85)
+        if n % _PACK_T:
+            return gram_1d(grid, a, "allreduce", kernel)
+
+        def kern(a_blk):
+            g = _local_gram(a_blk, kernel)
+            p = _pack_tri(g.astype(a_blk.dtype))
+            p = lax.psum(p, ALL_AXES)
+            return _unpack_tri(p, n)
     else:
         raise ValueError(f"unknown gram policy {policy!r}")
 
@@ -133,7 +182,7 @@ def gram_1d(grid: Grid, a, policy: str = "allreduce", kernel: str = "dot"):
         # vma checking off when (a) the scatter+gather pair provably
         # replicates but the static checker can't see it, or (b) the Pallas
         # gram kernel is used (pallas_call outputs carry no vma annotation)
-        check_vma=(policy == "allreduce" and kernel != "tri"),
+        check_vma=(policy in ("allreduce", "packed") and kernel != "tri"),
     )
     return f(a)
 
@@ -149,20 +198,39 @@ def _sweep_1d(grid: Grid, a, cfg: Config):
     p = grid.num_devices
     esz = a.dtype.itemsize
     with tracing.phase("CQR::gram"):
+        # 'packed' moves the n(n+T)/2-word triangle instead of n^2 (ref:
+        # policy.h:77-85); the other policies move the full square.
+        words = (_tri_pack_size(n)
+                 if cfg.gram_policy == "packed" and n % _PACK_T == 0
+                 else n * n)
         tracing.record("gram_1d", flops=2.0 * m * n * n / p,
-                       comm_bytes=tracing.psum_bytes(n * n * esz, p), msgs=1)
+                       comm_bytes=tracing.psum_bytes(words * esz, p), msgs=1)
         g = gram_1d(grid, a, cfg.gram_policy, kernel=cfg.gram_kernel)
     with tracing.phase("CQR::formR"):
         tracing.record("chol_inv", flops=2.0 * n**3 / 3.0)
         r, rinv = lapack.chol_inv(g, lower=False, method=cfg.base_method,
                                   platform=grid.platform)
     with tracing.phase("CQR::formQ"):
-        # Q = A @ Rinv: rinv replicated, rows of A in place — local trmm.
+        # Q = A @ Rinv: rinv replicated, rows of A in place — local trmm
+        # (triangle-aware Pallas kernel on TPU: ~m n^2 instead of 2 m n^2
+        # MXU flops, the dtrmm saving of interface.hpp:54-75).
         tracing.record("trmm_local", flops=2.0 * m * n * n / p)
         if cfg.formq_chunks > 1:
             q = _formq_inplace(grid, a, rinv, cfg.formq_chunks)
+        elif grid.num_devices == 1:
+            q = blas.trmm(rinv, a, side="R", uplo="U",
+                          platform=grid.platform)
         else:
-            q = blas.trmm(rinv, a, side="R", uplo="U")
+            # keep the Pallas kernel inside the per-device scope: a global
+            # pallas_call on a sharded operand would force replication
+            def kern(a_blk, t_rep):
+                return blas.trmm(t_rep, a_blk, side="R", uplo="U",
+                                 platform=grid.platform)
+
+            q = jax.shard_map(kern, mesh=grid.mesh,
+                              in_specs=(P(ALL_AXES, None), P(None, None)),
+                              out_specs=P(ALL_AXES, None),
+                              check_vma=False)(a, rinv)
     q = grid.constrain(q, P(ALL_AXES, None))
     return q, r
 
@@ -265,6 +333,61 @@ def factor_3d(grid: Grid, a, cfg: Config = Config()):
 # hybrid path (ref: sweep_tune, cacqr.hpp:124-170 — 1 < c < d regime)
 # ---------------------------------------------------------------------------
 
+def gram_hybrid(grid: Grid, a, policy: str = "two_stage",
+                kernel: str = "auto"):
+    """G = A^T A with A row-sharded over the FULL rect mesh, returned
+    SHARDED on the square (z, x) view — rows blocked by 'z', cols by 'x',
+    replicated along the long 'y' axis.
+
+    policy='two_stage' is the hierarchical tree (ref: the column_contig
+    Reduce + column_alt Allreduce split, cacqr.hpp:146-149): the big
+    reductions run on the small minor axes FIRST —
+
+      1. psum_scatter over 'x' (cols -> x shards):  n^2 (c-1)/c bytes,
+      2. psum_scatter over 'z' (rows -> z shards):  n^2 (c-1)/c^2 bytes,
+      3. psum over 'y' (the long axis):             ~2 n^2/c^2 bytes
+
+    — so the long-axis stage, the one that crosses DCN on a Grid.hybrid
+    mesh (its 'x'/'z' are intra-host ICI), moves only 1/c^2 of the matrix.
+    Each stage's output lands exactly where the square view's cholinv wants
+    it: no re-sharding after the reduction.
+
+    policy='allreduce' is the flat replicated psum (every device gets all
+    of G, then keeps its square-view shard); 'packed' is the flat psum in
+    packed-triangle form (half the words, ref: policy.h:77-85).
+    """
+    n = a.shape[1]
+    kernel = _resolve_gram_kernel(kernel, a.dtype, grid.platform)
+    zx_spec = P(AXIS_Z, AXIS_X)
+
+    if policy == "two_stage":
+        def kern(a_blk):
+            g = _local_gram(a_blk, kernel).astype(a_blk.dtype)
+            g = lax.psum_scatter(g, AXIS_X, scatter_dimension=1, tiled=True)
+            g = lax.psum_scatter(g, AXIS_Z, scatter_dimension=0, tiled=True)
+            return lax.psum(g, AXIS_Y)
+
+        out_specs = zx_spec
+    elif policy in ("allreduce", "packed"):
+        packed = policy == "packed" and n % _PACK_T == 0
+
+        def kern(a_blk):
+            g = _local_gram(a_blk, kernel)
+            if packed:
+                p = lax.psum(_pack_tri(g.astype(a_blk.dtype)), ALL_AXES)
+                return _unpack_tri(p, n)
+            return lax.psum(g.astype(a_blk.dtype), ALL_AXES)
+
+        out_specs = P(None, None)
+    else:
+        raise ValueError(f"unknown gram policy {policy!r}")
+
+    f = jax.shard_map(kern, mesh=grid.mesh,
+                      in_specs=P(ALL_AXES, None), out_specs=out_specs,
+                      check_vma=kernel != "tri")
+    return grid.constrain(f(a), zx_spec)
+
+
 def _sweep_hybrid(grid: Grid, a, cfg: Config):
     """Rows sharded over the FULL mesh (like 1D), Gram factored DISTRIBUTED
     on a square (z, x) axis view (like 3D).
@@ -274,33 +397,48 @@ def _sweep_hybrid(grid: Grid, a, cfg: Config):
     square topology built over the rect grid's c^3 cube sub-communicator
     (ref: cacqr.hpp:146-149, 232-234). Here the nested topology is an
     axis-role VIEW: the mesh's depth and col axes (both size c on a rect
-    grid) become the cholinv slice, no communicator surgery. Each 'y' layer
-    redundantly factors its Gram replica — the ReplicateCommComp placement.
+    grid) become the cholinv slice, no communicator surgery. The
+    hierarchical reduction itself is gram_hybrid (honoring
+    cfg.gram_policy / cfg.gram_kernel). Each 'y' layer redundantly factors
+    its Gram replica — the ReplicateCommComp placement.
     """
     m, n = a.shape
     with tracing.phase("CQR::gram"):
-        # two-stage reduction to a P('z', 'x')-sharded Gram: psum_scatter
-        # over the long row axis leaves G shards exactly where the square
-        # view wants them (the column_contig/column_alt split analog).
-        def kern(a_blk):
-            g = _pdot(a_blk.T, a_blk)
-            g = g.astype(a_blk.dtype)
-            # reduce over everything, then keep the (z, x) shard of G
-            g = lax.psum(g, ALL_AXES)
-            return g
-
-        f = jax.shard_map(kern, mesh=grid.mesh,
-                          in_specs=P(ALL_AXES, None),
-                          out_specs=P(None, None))
-        g = f(a)
+        p = grid.num_devices
+        esz = a.dtype.itemsize
+        c = grid.c
+        if cfg.gram_policy == "two_stage":
+            comm = (tracing.psum_bytes(n * n * esz, c) / 2        # scatter x
+                    + tracing.psum_bytes(n * n * esz / c, c) / 2  # scatter z
+                    + tracing.psum_bytes(n * n * esz / (c * c), grid.d1))
+        else:
+            words = (_tri_pack_size(n)
+                     if cfg.gram_policy == "packed" and n % _PACK_T == 0
+                     else n * n)
+            comm = tracing.psum_bytes(words * esz, p)
+        tracing.record("gram_hybrid", flops=2.0 * m * n * n / p,
+                       comm_bytes=comm, msgs=3)
+        g = gram_hybrid(grid, a, cfg.gram_policy, kernel=cfg.gram_kernel)
     sq = grid.view(z=None, y="z", x="x")  # square c x c slice, y-replicated
     g = sq.constrain(g, sq.slice_spec)
     with tracing.phase("CQR::chol"):
         r, rinv = _cholinv.factor(sq, g, cfg.chol)
     with tracing.phase("CQR::formQ"):
-        # Q = A @ Rinv with A row-sharded: replicate Rinv, local trmm.
+        # Q = A @ Rinv with A row-sharded: replicate Rinv, local trmm
+        # (Pallas triangle kernel kept inside the per-device scope).
         rinv_rep = sq.constrain(rinv, P(None, None))
-        q = blas.trmm(rinv_rep, a, side="R", uplo="U")
+        if grid.num_devices == 1:
+            q = blas.trmm(rinv_rep, a, side="R", uplo="U",
+                          platform=grid.platform)
+        else:
+            def kern(a_blk, t_rep):
+                return blas.trmm(t_rep, a_blk, side="R", uplo="U",
+                                 platform=grid.platform)
+
+            q = jax.shard_map(kern, mesh=grid.mesh,
+                              in_specs=(P(ALL_AXES, None), P(None, None)),
+                              out_specs=P(ALL_AXES, None),
+                              check_vma=False)(a, rinv_rep)
         q = grid.constrain(q, P(ALL_AXES, None))
     return q, sq.constrain(r, P(None, None))
 

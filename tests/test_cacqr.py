@@ -133,3 +133,56 @@ def test_formq_inplace_matches(grid_rect):
     q1, r1 = cacqr.factor_1d(grid_rect, a, chunked)
     np.testing.assert_allclose(np.asarray(q0), np.asarray(q1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-6)
+
+
+def test_gram_packed_matches(grid222):
+    """'packed' allreduces the tile-packed triangle (half the words, ref:
+    policy.h:77-85) and must agree with the flat allreduce exactly."""
+    m, n = 512, 256  # n % _PACK_T == 0 so the packed path engages
+    a = matrix.tall_skinny(grid222, m, n, jax.random.key(6)).data
+    g1 = cacqr.gram_1d(grid222, a, "allreduce")
+    g2 = cacqr.gram_1d(grid222, a, "packed")
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+    # ragged n falls back to the flat allreduce (still correct)
+    a2 = matrix.tall_skinny(grid222, 512, 48, jax.random.key(7)).data
+    g3 = cacqr.gram_1d(grid222, a2, "packed")
+    np.testing.assert_allclose(
+        np.asarray(g3), np.asarray(a2).T @ np.asarray(a2), atol=1e-4)
+
+
+def test_tri_pack_roundtrip():
+    """Tile pack/unpack is exact for symmetric matrices and halves words."""
+    n = 512
+    u = np.random.default_rng(0).standard_normal((n, n)).astype(np.float32)
+    g = jnp.asarray(u + u.T)
+    p = cacqr._pack_tri(g)
+    assert p.size == cacqr._tri_pack_size(n) < n * n * 0.63
+    np.testing.assert_array_equal(np.asarray(cacqr._unpack_tri(p, n)),
+                                  np.asarray(g))
+
+
+@pytest.mark.parametrize("policy", ["allreduce", "two_stage", "packed"])
+def test_gram_hybrid_policies_match(grid_rect, policy):
+    """gram_hybrid lands G sharded on the (z, x) square view for every
+    policy; two_stage is the hierarchical column_contig/column_alt tree
+    (ref: cacqr.hpp:146-149)."""
+    m, n = 2048, 256
+    a = matrix.tall_skinny(grid_rect, m, n, jax.random.key(8)).data
+    g = cacqr.gram_hybrid(grid_rect, a, policy)
+    ref = np.asarray(a, dtype=np.float64).T @ np.asarray(a, dtype=np.float64)
+    np.testing.assert_allclose(np.asarray(g), ref, rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("policy", ["two_stage", "packed"])
+def test_factor_hybrid_gram_policies(grid_rect, policy):
+    """The hybrid sweep honors cfg.gram_policy end to end."""
+    m, n = 2048, 256
+    a = matrix.tall_skinny(grid_rect, m, n, jax.random.key(10))
+    cfg = cacqr.Config(
+        num_iter=2, gram_policy=policy,
+        chol=cholinv.Config(min_bc=64, base_method="xla"),
+    )
+    q, r = cacqr.factor_hybrid(grid_rect, a, cfg)
+    assert float(validate.qr_orthogonality(grid_rect, q, layout="1d")) < 1e-5
+    assert float(validate.qr_residual(grid_rect, a.data, q, r,
+                                      layout="1d")) < 1e-5
