@@ -135,8 +135,28 @@ class Grid:
         d = p // (c * c)
         return cls._build(devs, (c, d, c), layout)
 
+    @staticmethod
+    def _hybrid_axes(c: int, d: int, n_hosts: int):
+        """(per_host_shape, dcn_shape) for a c x d x d grid over n_hosts.
+
+        Exactly one mesh axis is split across DCN; preference order
+        'y' then 'z': splitting rows keeps the column ('x') and depth
+        ('z') collectives — summa's gathers and depth psums — entirely on
+        intra-host ICI, so only row-axis reductions cross DCN (the layout
+        the Gram two-stage tree is shaped for). Raises when no axis is
+        divisible by n_hosts instead of silently building a wrong mesh."""
+        if d % n_hosts == 0:
+            return (c, d // n_hosts, d), (1, n_hosts, 1)
+        if c % n_hosts == 0:
+            return (c // n_hosts, d, d), (n_hosts, 1, 1)
+        raise ValueError(
+            f"hybrid grid cannot split c={c} x d={d} x d={d} over "
+            f"{n_hosts} hosts: none of the axes is divisible by the host "
+            f"count; choose c/d so that n_hosts | d or n_hosts | c")
+
     @classmethod
-    def hybrid(cls, c: int = 1, d: int | None = None) -> "Grid":
+    def hybrid(cls, c: int = 1, d: int | None = None,
+               devices: Sequence[Any] | None = None) -> "Grid":
         """Multi-host grid: the slice's row axis spans hosts (DCN), columns
         and depth stay intra-host (ICI), via mesh_utils'
         create_hybrid_device_mesh. Collectives along 'x'/'z' then ride ICI
@@ -147,7 +167,7 @@ class Grid:
         is visible."""
         import jax.experimental.mesh_utils as mesh_utils
 
-        devs = jax.devices()
+        devs = _device_table(devices)
         p = len(devs)
         if d is None:
             d = math.isqrt(p // c)
@@ -156,8 +176,7 @@ class Grid:
         n_hosts = max(1, len({getattr(dev, "process_index", 0) for dev in devs}))
         if n_hosts == 1:
             return cls.square(c=c, d=d, devices=devs)
-        per_host = (c, d // n_hosts if d % n_hosts == 0 else d, d)
-        dcn = (1, n_hosts if d % n_hosts == 0 else 1, 1)
+        per_host, dcn = cls._hybrid_axes(c, d, n_hosts)
         arr = mesh_utils.create_hybrid_device_mesh(
             per_host, dcn, devices=devs, allow_split_physical_axes=True)
         return cls(mesh=Mesh(arr, ALL_AXES))

@@ -56,3 +56,37 @@ def test_layout2_rejects_odd(cpus):
 
     with pytest.raises(ValueError):
         Grid.square(c=8, d=1, devices=cpus[:8], layout=2)
+
+
+def test_hybrid_single_host_fallback(cpus):
+    """One visible host: hybrid() degrades to square() on the same devices."""
+    from capital_tpu.grid import Grid
+
+    g = Grid.hybrid(c=2, d=2, devices=cpus[:8])
+    assert g.shape == (2, 2, 2)
+    assert g.mesh.axis_names == ("z", "y", "x")
+
+
+def test_hybrid_axes_split_preference():
+    """DCN splits rows first, depth second, and rejects indivisible grids
+    instead of silently building a wrong mesh."""
+    from capital_tpu.grid import Grid
+
+    # 4 hosts, d=8 divisible: split 'y'
+    assert Grid._hybrid_axes(2, 8, 4) == ((2, 2, 8), (1, 4, 1))
+    # d=3 not divisible by 2 but c=4 is: split 'z'
+    assert Grid._hybrid_axes(4, 3, 2) == ((2, 3, 3), (2, 1, 1))
+    # nothing divisible: explicit error
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot split"):
+        Grid._hybrid_axes(3, 5, 2)
+
+
+def test_hybrid_shape_mismatch():
+    from capital_tpu.grid import Grid
+    import jax
+    import pytest
+
+    with pytest.raises(ValueError, match="c\\*d\\*d"):
+        Grid.hybrid(c=3, d=2, devices=jax.devices("cpu")[:8])
