@@ -23,9 +23,16 @@ for the same layout:
 
 Per-device bytes moved ~ 2 n^2/(d c) + n^2/d^2: the 2.5D lower bound
 O(n^2 / sqrt(c P)). With c=1 this is exactly 2D SUMMA; with c=d it is the
-3D algorithm. XLA pipelines the two all_gathers against the gemm, which
-subsumes the reference's hand-rolled chunked Ibcast overlap knob
-(summa.hpp:195-215).
+3D algorithm.
+
+The reference's signature overlap knob — num_chunks-way chunked
+MPI_Ibcast/Iallreduce pipelining (summa.hpp:195-215, 238-248) — exists here
+as two explicit schedules on top of the baseline:
+
+  * num_chunks > 1 on the shard_map impl: the K extent is gathered and
+    multiplied in pipelined pieces (gather i+1 overlaps gemm i);
+  * impl='ring': Cannon rotation — operand blocks take single ICI hops
+    per step via lax.ppermute while the previous step's gemm runs.
 
 All functions take/return *global* jax.Arrays sharded P('y','x') on
 grid.mesh and are jit-traceable.
@@ -77,26 +84,48 @@ def _check_divisible(grid: Grid, a, b):
         )
 
 
-def _make_summa_kernel(ax_z, ax_y, ax_x):
+def _z_slice(a_blk, b_blk, ax_z):
+    """Layer z takes the z-th K sub-slice of every block (cyclic-over-
+    blocks K chunking; the k-order of the two gathers matches by
+    construction)."""
+    if ax_z is None:
+        return a_blk, b_blk
+    z = lax.axis_index(ax_z)
+    c = lax.axis_size(ax_z)
+    kc_a = a_blk.shape[1] // c
+    kc_b = b_blk.shape[0] // c
+    a_sub = lax.dynamic_slice_in_dim(a_blk, z * kc_a, kc_a, 1)
+    b_sub = lax.dynamic_slice_in_dim(b_blk, z * kc_b, kc_b, 0)
+    return a_sub, b_sub
+
+
+def _make_summa_kernel(ax_z, ax_y, ax_x, num_chunks: int = 1):
     """Local shard_map body over the grid's role axes.
-    a_blk: (mb, kb), b_blk: (kb, nb) at coordinates (z, y, x)."""
+    a_blk: (mb, kb), b_blk: (kb, nb) at coordinates (z, y, x).
+
+    num_chunks > 1 pipelines the operand movement against the MXU exactly
+    like the reference's chunked MPI_Ibcast knob (ref: summa.hpp:195-215):
+    the K extent is split into num_chunks pieces, each piece is gathered
+    and multiplied separately, and because chunk i+1's gather has no data
+    dependence on chunk i's gemm, XLA's async scheduler overlaps them
+    (software-pipelined double buffering — the Wait/compute interleave of
+    summa.hpp:203-213)."""
 
     def kern(a_blk, b_blk):
-        if ax_z is not None:
-            z = lax.axis_index(ax_z)
-            c = lax.axis_size(ax_z)
-            kc_a = a_blk.shape[1] // c
-            kc_b = b_blk.shape[0] // c
-            # layer z takes the z-th K sub-slice of every block (cyclic-over-
-            # blocks K chunking; the k-order of the two gathers matches by
-            # construction).
-            a_sub = lax.dynamic_slice_in_dim(a_blk, z * kc_a, kc_a, 1)
-            b_sub = lax.dynamic_slice_in_dim(b_blk, z * kc_b, kc_b, 0)
-        else:
-            a_sub, b_sub = a_blk, b_blk
-        a_k = lax.all_gather(a_sub, ax_x, axis=1, tiled=True)  # (mb, k/c)
-        b_k = lax.all_gather(b_sub, ax_y, axis=0, tiled=True)  # (k/c, nb)
-        part = _pdot(a_k, b_k)
+        a_sub, b_sub = _z_slice(a_blk, b_blk, ax_z)
+        chunks = num_chunks
+        while a_sub.shape[1] % chunks or b_sub.shape[0] % chunks:
+            chunks -= 1
+        ka = a_sub.shape[1] // chunks
+        kb = b_sub.shape[0] // chunks
+        part = None
+        for i in range(chunks):
+            a_c = lax.slice_in_dim(a_sub, i * ka, (i + 1) * ka, axis=1)
+            b_c = lax.slice_in_dim(b_sub, i * kb, (i + 1) * kb, axis=0)
+            a_k = lax.all_gather(a_c, ax_x, axis=1, tiled=True)
+            b_k = lax.all_gather(b_c, ax_y, axis=0, tiled=True)
+            p = _pdot(a_k, b_k)
+            part = p if part is None else part + p
         if ax_z is not None:
             part = lax.psum(part, ax_z)
         return part.astype(a_blk.dtype)
@@ -104,8 +133,60 @@ def _make_summa_kernel(ax_z, ax_y, ax_x):
     return kern
 
 
-def gemm(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
+def _make_ring_kernel(ax_z, ax_y, ax_x, d: int):
+    """Cannon-rotation schedule: the TPU-native build of the reference's
+    pipelined-broadcast overlap (ref: the num_chunks Ibcast pipeline,
+    summa.hpp:195-215 — same goal, ICI-native mechanics).
+
+    Instead of gathering the full K panels up front, operand blocks rotate
+    around nearest-neighbor ICI rings one hop per step:
+
+      pre-skew   A(y,x) <- A(y, x+y mod d) along the joint (y,x) axis,
+                 B(y,x) <- B(y+x mod d, x)           [one ppermute each]
+      d steps    local gemm on the co-resident (k-index-matched) blocks;
+                 rotate A one hop along 'x', B one hop along 'y'.
+
+    Step s's single-hop ppermute and step s-1's gemm have no mutual data
+    dependence, so XLA double-buffers them: communication hides behind the
+    MXU whenever gemm_time >= hop_time. Per-step messages are 1/d the size
+    of the all_gather and travel exactly one ICI hop — the schedule 2.5D
+    performance lives on for big meshes. Requires a square (d x d) slice.
+    """
+
+    def kern(a_blk, b_blk):
+        a_sub, b_sub = _z_slice(a_blk, b_blk, ax_z)
+        # pre-skew over the joint (y, x) axis: flat index = y*d + x
+        skew_a = [(y * d + j, y * d + (j - y) % d)
+                  for y in range(d) for j in range(d)]
+        skew_b = [(i * d + x, ((i - x) % d) * d + x)
+                  for i in range(d) for x in range(d)]
+        a_s = lax.ppermute(a_sub, (ax_y, ax_x), skew_a)
+        b_s = lax.ppermute(b_sub, (ax_y, ax_x), skew_b)
+        rot_a = [(j, (j - 1) % d) for j in range(d)]
+        rot_b = [(i, (i - 1) % d) for i in range(d)]
+        part = None
+        for s in range(d):
+            p = _pdot(a_s, b_s)
+            part = p if part is None else part + p
+            if s + 1 < d:
+                a_s = lax.ppermute(a_s, ax_x, rot_a)
+                b_s = lax.ppermute(b_s, ax_y, rot_b)
+        if ax_z is not None:
+            part = lax.psum(part, ax_z)
+        return part.astype(a_blk.dtype)
+
+    return kern
+
+
+def gemm(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
+         num_chunks: int = 1):
     """C = alpha * A @ B + beta * C, distributed (ref: summa.hpp:6-44).
+
+    impl: 'shard_map' (all_gather K panels; num_chunks > 1 pipelines the
+    gathers against partial gemms — the reference's chunked-Ibcast overlap
+    knob, summa.hpp:195-215), 'ring' (Cannon rotation: nearest-neighbor
+    single-hop ppermutes overlapped with per-step gemms; square slices
+    only), or 'gspmd' (let the partitioner choose).
 
     alpha/beta are applied as a fused elementwise epilogue on the already
     block-aligned output (the reference's save/restore AXPY, summa.hpp:27-35).
@@ -116,8 +197,15 @@ def gemm(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
         out = grid.constrain(out, grid.slice_spec)
     else:
         _check_divisible(grid, a, b)
+        if impl == "ring":
+            kern = _make_ring_kernel(grid.ax_z, grid.ax_y, grid.ax_x, grid.d)
+        elif impl == "shard_map":
+            kern = _make_summa_kernel(grid.ax_z, grid.ax_y, grid.ax_x,
+                                      num_chunks)
+        else:
+            raise ValueError(f"unknown summa impl {impl!r}")
         f = jax.shard_map(
-            _make_summa_kernel(grid.ax_z, grid.ax_y, grid.ax_x),
+            kern,
             mesh=grid.mesh,
             in_specs=(grid.slice_spec, grid.slice_spec),
             out_specs=grid.slice_spec,
@@ -158,7 +246,8 @@ def transpose(grid: Grid, a, impl="shard_map"):
     return f(a)
 
 
-def trmm(grid: Grid, a, b, *, side="L", uplo="U", trans_a=False, alpha=1.0, impl="shard_map"):
+def trmm(grid: Grid, a, b, *, side="L", uplo="U", trans_a=False, alpha=1.0,
+         impl="shard_map", num_chunks: int = 1):
     """Distributed triangular multiply (ref: summa.hpp:46-83). Triangular
     structure is a global mask fused into the operand (see matrix.py); the
     multiply itself is the gemm engine.
@@ -166,7 +255,18 @@ def trmm(grid: Grid, a, b, *, side="L", uplo="U", trans_a=False, alpha=1.0, impl
     Under the gspmd impl a transposed operand is contracted on axis 0
     directly (the MXU consumes either layout) instead of materializing the
     transpose — the relayout only exists in the shard_map schedule, where it
-    IS the distributed block exchange."""
+    IS the distributed block exchange.
+
+    On a single-device grid the call is one local trmm: route to the
+    triangle-aware kernel layer (half the MXU flops on TPU — the dtrmm
+    saving of the reference's MKL local kernels, interface.hpp:54-75)."""
+    if grid.num_devices == 1:
+        from capital_tpu.ops import blas
+
+        _record_gemm_cost(grid, a, b) if side == "L" else \
+            _record_gemm_cost(grid, b, a)
+        return blas.trmm(a, b, side=side, uplo=uplo, trans_a=trans_a,
+                         alpha=alpha, platform=grid.platform)
     t = apply_structure(a, Structure.UPPERTRI if uplo == "U" else Structure.LOWERTRI)
     if trans_a and impl == "gspmd" and side == "L":
         _record_gemm_cost(grid, t, b)
@@ -179,9 +279,9 @@ def trmm(grid: Grid, a, b, *, side="L", uplo="U", trans_a=False, alpha=1.0, impl
     if trans_a:
         t = transpose(grid, t, impl=impl)
     if side == "L":
-        out = gemm(grid, t, b, alpha=alpha, impl=impl)
+        out = gemm(grid, t, b, alpha=alpha, impl=impl, num_chunks=num_chunks)
     else:
-        out = gemm(grid, b, t, alpha=alpha, impl=impl)
+        out = gemm(grid, b, t, alpha=alpha, impl=impl, num_chunks=num_chunks)
     return out
 
 
@@ -198,7 +298,8 @@ def _syrk_gspmd(grid: Grid, a, b, c, alpha, beta):
     return out
 
 
-def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
+def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
+         num_chunks: int = 1):
     """C = alpha * A^T A + beta * C, distributed (ref: summa.hpp:85-161).
 
     shard_map impl: grid-transpose + gemm — the reference does exactly this
@@ -208,13 +309,16 @@ def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
     if impl == "gspmd":
         return _syrk_gspmd(grid, a, a, c, alpha, beta)
     at = transpose(grid, a, impl=impl)
-    return gemm(grid, at, a, c=c, alpha=alpha, beta=beta, impl=impl)
+    return gemm(grid, at, a, c=c, alpha=alpha, beta=beta, impl=impl,
+                num_chunks=num_chunks)
 
 
-def syrk2(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map"):
+def syrk2(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0,
+          impl="shard_map", num_chunks: int = 1):
     """Two-matrix SYRK: C = alpha * A^T B + beta * C (ref: the 2-matrix syrk
     overload, summa.hpp:85-108)."""
     if impl == "gspmd":
         return _syrk_gspmd(grid, a, b, c, alpha, beta)
     at = transpose(grid, a, impl=impl)
-    return gemm(grid, at, b, c=c, alpha=alpha, beta=beta, impl=impl)
+    return gemm(grid, at, b, c=c, alpha=alpha, beta=beta, impl=impl,
+                num_chunks=num_chunks)

@@ -81,3 +81,62 @@ def test_syrk2(grid222):
     out = summa.syrk2(grid222, a, b)
     np.testing.assert_allclose(np.asarray(out), np.asarray(a).T @ np.asarray(b),
                                atol=1e-4)
+
+
+def test_gemm_ring_matches(grid222):
+    """Cannon-rotation impl ('ring') computes the same product as the
+    all_gather schedule (the overlap knob, ref: summa.hpp:195-215)."""
+    m = k = n = 128
+    a = matrix.rand(grid222, m, k, jax.random.key(31)).data
+    b = matrix.rand(grid222, k, n, jax.random.key(32)).data
+    c0 = summa.gemm(grid222, a, b, impl="shard_map")
+    c1 = summa.gemm(grid222, a, b, impl="ring")
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_gemm_ring_flat_grid(grid122):
+    """ring on a c=1 grid (pure Cannon, no depth psum)."""
+    m = k = n = 64
+    a = matrix.rand(grid122, m, k, jax.random.key(33)).data
+    b = matrix.rand(grid122, k, n, jax.random.key(34)).data
+    c1 = summa.gemm(grid122, a, b, impl="ring")
+    ref = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    np.testing.assert_allclose(np.asarray(c1), ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_gemm_chunked_pipeline_matches(grid222, chunks):
+    """num_chunks K-pipelining (the Ibcast chunk knob) is numerically
+    identical to the single-gather schedule."""
+    m = k = n = 128
+    a = matrix.rand(grid222, m, k, jax.random.key(35)).data
+    b = matrix.rand(grid222, k, n, jax.random.key(36)).data
+    c0 = summa.gemm(grid222, a, b)
+    c1 = summa.gemm(grid222, a, b, num_chunks=chunks)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_cholinv_with_ring_summa(grid222):
+    """End-to-end: the flagship recursion runs on the ring engine."""
+    from capital_tpu.algs import cholinv
+    from capital_tpu import validate
+
+    n = 256
+    a = matrix.symmetric(grid222, n, jax.random.key(37)).data
+    cfg = cholinv.Config(min_bc=64, base_method="xla", summa_impl="ring")
+    r, rinv = cholinv.factor(grid222, a, cfg)
+    assert float(validate.cholesky_residual(grid222, a, r)) < 5e-6
+    assert float(validate.inverse_residual(grid222, r, rinv)) < 5e-6
+
+
+def test_cholinv_with_chunked_summa(grid222):
+    from capital_tpu.algs import cholinv
+    from capital_tpu import validate
+
+    n = 256
+    a = matrix.symmetric(grid222, n, jax.random.key(38)).data
+    cfg = cholinv.Config(min_bc=64, base_method="xla", summa_chunks=2)
+    r, _ = cholinv.factor(grid222, a, cfg)
+    assert float(validate.cholesky_residual(grid222, a, r)) < 5e-6
