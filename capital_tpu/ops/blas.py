@@ -42,11 +42,31 @@ def gemm(a, b, *, c=None, alpha=1.0, beta=0.0, trans_a=False, trans_b=False):
     return out
 
 
-def trmm(a, b, *, side="L", uplo="U", trans_a=False, diag="N", alpha=1.0):
+def trmm(a, b, *, side="L", uplo="U", trans_a=False, diag="N", alpha=1.0,
+         method="auto", platform=None):
     """B = alpha * op(tri(A)) B (side=L) or alpha * B op(tri(A)) (side=R)
     (ref: ArgPack_trmm, engine.h:91-111).
 
-    tri() masks A to its `uplo` triangle; diag='U' forces a unit diagonal."""
+    tri() masks A to its `uplo` triangle; diag='U' forces a unit diagonal.
+
+    method='tri' uses the triangle-aware Pallas kernel (half the MXU flops
+    — the dtrmm saving the reference gets from MKL, interface.hpp:54-75);
+    'auto' picks it on TPU for the supported upper-triangular cases."""
+    if method == "auto":
+        import os
+
+        from capital_tpu.ops.lapack import _on_tpu
+
+        on_tpu = platform in ("tpu", "axon") if platform else _on_tpu(b)
+        method = os.environ.get("CAPITAL_TRMM_METHOD") or (
+            "tri" if on_tpu else "dot")
+    if (method == "tri" and uplo == "U" and diag == "N"
+            and not (side == "R" and trans_a)
+            and a.dtype in (jnp.float32, jnp.bfloat16)):
+        from capital_tpu.ops.pallas_trmm import trmm_upper
+
+        out = trmm_upper(a, b, side=side, trans_a=trans_a)
+        return alpha * out if alpha != 1.0 else out
     t = jnp.triu(a) if uplo == "U" else jnp.tril(a)
     if diag == "U":
         n = a.shape[0]
