@@ -89,7 +89,13 @@ def sweep_cholinv(grid: Grid, a, space: dict | None = None,
         "split": [1],
         "complete_inv": [True],
         "base_method": ["auto"],
-        "summa_impl": ["gspmd"] if grid.num_devices == 1 else ["shard_map"],
+        # overlap engines + the Ibcast-chunking analog (summa.hpp:195-215)
+        "summa_impl": (["gspmd"] if grid.num_devices == 1
+                       else ["shard_map", "ring"]),
+        "summa_chunks": [1] if grid.num_devices == 1 else [1, 2],
+        # the reference's BaseCasePolicy axis (policy.h:160-514)
+        "base_policy": (["replicated"] if grid.num_devices == 1
+                        else ["replicated", "layer"]),
     }
     out = []
     keys = list(space)
@@ -118,7 +124,7 @@ def sweep_cacqr(grid: Grid, a, space: dict | None = None,
 
     space = space or {
         "num_iter": [1, 2],
-        "gram_policy": ["allreduce", "two_stage"],
+        "gram_policy": ["allreduce", "two_stage", "packed"],
         "base_method": ["auto"],
     }
     out = []
@@ -140,6 +146,60 @@ def sweep_cacqr(grid: Grid, a, space: dict | None = None,
     return out
 
 
+def grid_candidates(devices=None):
+    """Feasible grid shapes for the visible device count — the reference's
+    rep_factor / grid-aspect tuning axis (ref: the QR tuner sweeps aspect
+    ratios in-process, autotune/qr/cacqr/tune.cpp:84-89; the bench drivers
+    take rep_div/rep_factor, bench/qr/cacqr.cpp:17-18).
+
+    Returns (kind, c, d) triples: square c x d x d sub-grids (device count
+    c*d*d <= P) plus full-device rect d x c x c grids."""
+    devs = devices if devices is not None else jax.devices()
+    p = len(devs)
+    out = [("square", 1, 1)]
+    for c in (1, 2, 4):
+        for d in (2, 4, 8):
+            if 1 < c * d * d <= p:
+                out.append(("square", c, d))
+    for c in (2, 4):
+        if c * c < p and p % (c * c) == 0:
+            out.append(("rect", c, p // (c * c)))
+    return out
+
+
+def sweep_grids(alg: str = "cholinv", n: int = 4096, m: int = 1 << 18,
+                shapes=None, space: dict | None = None, num_iter: int = 2,
+                devices=None) -> list[Candidate]:
+    """Outer sweep over mesh shapes (grid-aspect axis), inner sweep over the
+    per-algorithm config space. Each candidate's params carry the grid
+    shape + device count so the report tables get a grid column."""
+    from capital_tpu import matrix
+
+    devs = list(devices) if devices is not None else jax.devices()
+    shapes = shapes or grid_candidates(devs)
+    out: list[Candidate] = []
+    for kind, c, d in shapes:
+        try:
+            if kind == "square":
+                grid = Grid.square(c=c, d=d, devices=devs[: c * d * d])
+            else:
+                grid = Grid.rect(c=c, devices=devs)
+        except ValueError:
+            continue
+        tag = f"{kind}-c{c}x{grid.d1}x{grid.d2}"
+        if alg == "cholinv":
+            a = matrix.symmetric(grid, n, jax.random.key(0), align=128).data
+            cands = sweep_cholinv(grid, a, space, num_iter=num_iter)
+        else:
+            a = matrix.tall_skinny(grid, m, n, jax.random.key(0)).data
+            cands = sweep_cacqr(grid, a, space, num_iter=num_iter)
+        for cand in cands:
+            cand.params = {"grid": tag, "devices": grid.num_devices,
+                           **cand.params}
+        out.extend(cands)
+    return out
+
+
 def best(cands: Sequence[Candidate]) -> Candidate:
     return min(cands, key=lambda c: c.time_s)
 
@@ -148,14 +208,16 @@ def write_tables(cands: Sequence[Candidate], prefix: str, num_devices: int = 1):
     """Emit the reference-style report files (ref: autotune/util.h:4-61
     layout; *_cp_* / *_cross_* naming at tune.cpp:208-217):
 
-      <prefix>_cp_times.txt    config vs measured/model times
-      <prefix>_cp_costs.txt    config vs critical-path cost vector
-      <prefix>_cross_costs.txt max-per-process + volumetric cost vectors
-      <prefix>.jsonl           machine-readable records
+      <prefix>_cp_times.txt     config vs measured/model times
+      <prefix>_cp_costs.txt     config vs critical-path cost vector
+      <prefix>_cross_times.txt  max-per-process + volumetric times
+      <prefix>_cross_costs.txt  max-per-process + volumetric cost vectors
+      <prefix>.jsonl            machine-readable records
 
     In uniform SPMD the critical-path and max-per-process vectors coincide
     (every device executes the same program); volumetric = per-device x P —
-    both stated explicitly so reference-style consumers see all three."""
+    both stated explicitly so reference-style consumers see all three.
+    Grid-sweep candidates carry their own device count in params."""
     keys = sorted({k for c in cands for k in c.params})
 
     def head(f, extra):
@@ -164,6 +226,9 @@ def write_tables(cands: Sequence[Candidate], prefix: str, num_devices: int = 1):
     def row(f, c, extra):
         f.write("  ".join(f"{str(c.params.get(k, '-')):>12}" for k in keys)
                 + extra + "\n")
+
+    def nd(c):
+        return c.params.get("devices", num_devices)
 
     with open(f"{prefix}_cp_times.txt", "w") as f:
         head(f, f"  {'time_s':>12}  {'model_s':>12}")
@@ -175,13 +240,17 @@ def write_tables(cands: Sequence[Candidate], prefix: str, num_devices: int = 1):
             row(f, c, f"  {c.costs.get('gflop', 0):>12.3f}"
                       f"  {c.costs.get('ici_mib', 0):>12.3f}"
                       f"  {c.costs.get('msgs', 0):>8}")
+    with open(f"{prefix}_cross_times.txt", "w") as f:
+        head(f, f"  {'pp_time_s':>12}  {'vol_time_s':>12}")
+        for c in cands:
+            row(f, c, f"  {c.time_s:>12.6f}  {c.time_s * nd(c):>12.6f}")
     with open(f"{prefix}_cross_costs.txt", "w") as f:
         head(f, f"  {'pp_GFLOP':>12}  {'vol_GFLOP':>12}  {'vol_ICI_MiB':>12}")
         for c in cands:
             g = c.costs.get("gflop", 0)
             mib = c.costs.get("ici_mib", 0)
-            row(f, c, f"  {g:>12.3f}  {g * num_devices:>12.3f}"
-                      f"  {mib * num_devices:>12.3f}")
+            row(f, c, f"  {g:>12.3f}  {g * nd(c):>12.3f}"
+                      f"  {mib * nd(c):>12.3f}")
     with open(f"{prefix}.jsonl", "w") as f:
         for c in cands:
             f.write(json.dumps(c.record()) + "\n")
@@ -198,18 +267,41 @@ def main(argv=None):
     p.add_argument("--m", type=int, default=1 << 18)
     p.add_argument("--num-iter", type=int, default=2)
     p.add_argument("--prefix", default=None)
+    p.add_argument("--grid", default="auto",
+                   help="'sweep' = mesh-shape sweep over all feasible "
+                        "grids (the rep_factor axis); 'square:C:D'; "
+                        "'rect:C'; 'auto' = sweep when >1 device visible")
     args = p.parse_args(argv)
 
-    grid = Grid.square(c=1, d=1, devices=jax.devices()[:1])
-    if args.alg == "cholinv":
-        a = matrix.symmetric(grid, args.n, jax.random.key(0), align=128).data
-        cands = sweep_cholinv(grid, a, num_iter=args.num_iter)
+    devs = jax.devices()
+    gspec = args.grid
+    if gspec == "auto":
+        gspec = "sweep" if len(devs) > 1 else "square:1:1"
+    if gspec == "sweep":
+        cands = sweep_grids(args.alg, n=args.n, m=args.m,
+                            num_iter=args.num_iter, devices=devs)
+        nd = 1
     else:
-        a = matrix.tall_skinny(grid, args.m, args.n, jax.random.key(0)).data
-        cands = sweep_cacqr(grid, a, num_iter=args.num_iter)
+        parts = gspec.split(":")
+        if parts[0] == "square":
+            grid = Grid.square(c=int(parts[1]), d=int(parts[2]),
+                               devices=devs[: int(parts[1]) * int(parts[2]) ** 2])
+        elif parts[0] == "rect":
+            grid = Grid.rect(c=int(parts[1]), devices=devs)
+        else:
+            raise SystemExit(f"bad --grid {args.grid!r}")
+        if args.alg == "cholinv":
+            a = matrix.symmetric(grid, args.n, jax.random.key(0),
+                                 align=128).data
+            cands = sweep_cholinv(grid, a, num_iter=args.num_iter)
+        else:
+            a = matrix.tall_skinny(grid, args.m, args.n,
+                                   jax.random.key(0)).data
+            cands = sweep_cacqr(grid, a, num_iter=args.num_iter)
+        nd = grid.num_devices
 
     prefix = args.prefix or f"autotune_{args.alg}"
-    write_tables(cands, prefix, num_devices=grid.num_devices)
+    write_tables(cands, prefix, num_devices=nd)
     b = best(cands)
     print(json.dumps({"best": b.params, "time_s": b.time_s}))
     return cands
