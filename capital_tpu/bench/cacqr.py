@@ -108,11 +108,12 @@ def main(argv=None):
         # buffers); skip it when they cannot co-fit in HBM
         esz = jnp.dtype(dtype).itemsize
         if 3 * q.size * esz < 12 * 2**30:
-            # the original A was donated; regenerate from seed
+            # the factored A was donated; regenerate it from the LAST timed
+            # iteration's seed (Q, R belong to that matrix, not seed 0)
             extra["residual"] = float(jax.jit(
                 lambda aa, qq, rr: validate.qr_residual(grid, aa, qq, rr,
                                                         layout=layout),
-                donate_argnums=0)(regen(), q, r))
+                donate_argnums=0)(regen(seed=args.num_iter), q, r))
         else:
             extra["residual"] = "skipped (A+Q+QR exceed HBM)"
     rec = report("cacqr", secs=secs, flops=flops, extra=extra,
