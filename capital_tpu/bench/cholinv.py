@@ -1,8 +1,9 @@
 """Cholesky+inverse bench driver (ref: bench/cholesky/cholinv.cpp:8-71).
 
 Reference argv: num_iter, N, rep_div/rep_factor, complete_inv, split,
-bcMultiplier, layout, num_chunks — all mirrored as flags below (num_chunks
-has no analog: XLA pipelines collective/compute overlap itself).
+bcMultiplier, layout, num_chunks — all mirrored as flags below
+(--summa-chunks is the num_chunks analog; --summa-impl ring is the
+Cannon-rotation overlap engine).
 """
 
 from __future__ import annotations
@@ -26,7 +27,20 @@ def main(argv=None):
     p.add_argument("--base-method", default="auto",
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--summa-impl", default="gspmd",
-                   choices=["gspmd", "shard_map"])
+                   choices=["gspmd", "shard_map", "ring"])
+    p.add_argument("--summa-chunks", type=int, default=1,
+                   help="pipelined gather/gemm chunks (ref: num_chunks)")
+    p.add_argument("--base-policy", default="replicated",
+                   choices=["replicated", "layer", "gather"],
+                   help="base-case placement (ref: BaseCasePolicy)")
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint the recursion (FlushIntermediates "
+                        "analog) — cuts peak memory for big N")
+    p.add_argument("--donate", action="store_true",
+                   help="donate the input buffer (A is the workspace; "
+                        "matrices regenerate from seeds, ref: the "
+                        "re-distribute before every timed iteration, "
+                        "bench/qr/cacqr.cpp:43)")
     args = p.parse_args(argv)
     apply_precision(args)
 
@@ -46,26 +60,72 @@ def main(argv=None):
         split=args.split, bc_mult=args.bc_mult,
         complete_inv=bool(args.complete_inv),
         base_method=args.base_method, summa_impl=args.summa_impl,
+        summa_chunks=args.summa_chunks, base_policy=args.base_policy,
+        remat=args.remat,
     )
 
-    fn = jax.jit(lambda x: cholinv.factor(grid, x, cfg))
+    fn = jax.jit(lambda x: cholinv.factor(grid, x, cfg),
+                 donate_argnums=(0,) if args.donate else ())
     with tracing.trace() as t:
         jax.eval_shape(fn, a.data)  # cost accounting pass (critter analog)
 
-    if args.profile_dir:
+    if args.donate:
+        # donation consumes the input; regenerate from a fresh seed per
+        # iteration (defeats remote result caching the same way _perturb
+        # does, without two live operand buffers)
+        import time as _time
+
+        from capital_tpu.bench.common import force
+
+        dtype_ = a.data.dtype
+        del a
+
+        def regen(seed: int):
+            return matrix.symmetric(grid, args.n, jax.random.key(seed),
+                                    dtype=dtype_, align=128).data
+
+        r, rinv = fn(regen(0))
+        force((r, rinv))
+        times = []
+        last_seed = 0
+        for i in range(args.num_iter):
+            del r, rinv
+            x = regen(i + 1)
+            force(x)
+            last_seed = i + 1
+            t0 = _time.perf_counter()
+            r, rinv = fn(x)
+            force((r, rinv))
+            times.append(_time.perf_counter() - t0)
+        secs = min(times)
+    elif args.profile_dir:
         with tracing.profile(args.profile_dir):
             secs, _, (r, rinv) = timed_loop(fn, (a.data,), args.num_iter)
     else:
         secs, _, (r, rinv) = timed_loop(fn, (a.data,), args.num_iter)
 
-    n = a.data.shape[0]
+    n = args.n
     flops = 2 * n**3 / 3  # chol + full triangular inverse
     extra = {"n": args.n, "grid": grid.shape, "bc": cfg.base_dim(grid, n)}
     if not args.no_validate:
-        extra["residual"] = float(validate.cholesky_residual(
-            grid, a.data, r, impl=cfg.summa_impl))
-        extra["inv_residual"] = float(validate.inverse_residual(
-            grid, r, rinv, impl=cfg.summa_impl))
+        # Memory discipline for n=32768-class runs: jit each validator with
+        # the buffer it consumes donated, use the chunked panel
+        # accumulation (no n x n product materialized), check R*Rinv first
+        # and free Rinv before regenerating A for the Cholesky residual.
+        ch = 8 if n >= 16384 and grid.num_devices == 1 else 1
+        extra["inv_residual"] = float(jax.jit(
+            lambda r_, ri_: validate.inverse_residual(
+                grid, r_, ri_, impl=cfg.summa_impl, chunks=ch, masked=True),
+            donate_argnums=(1,))(r, rinv))
+        if args.donate:
+            del rinv
+            a_arr = regen(last_seed)
+        else:
+            a_arr = a.data
+        extra["residual"] = float(jax.jit(
+            lambda a_, r_: validate.cholesky_residual(
+                grid, a_, r_, impl=cfg.summa_impl, chunks=ch, masked=True),
+            donate_argnums=(0,))(a_arr, r))
     rec = report("cholinv", secs=secs, flops=flops, extra=extra,
                  as_json=args.json)
     if args.costs:

@@ -24,18 +24,64 @@ def _fro(x) -> jax.Array:
     return jnp.sqrt(jnp.sum(jnp.square(x.astype(acc))))
 
 
-def cholesky_residual(grid: Grid, a, r, impl: str = "shard_map") -> jax.Array:
+def cholesky_residual(grid: Grid, a, r, impl: str = "shard_map",
+                      chunks: int = 1, masked: bool = False) -> jax.Array:
     """||R^T R - A||_F / ||A||_F (ref: cholesky::validate::residual,
-    test/cholesky/validate.hpp:7-49 — rebuild A via transpose + summa)."""
-    rr = summa.syrk(grid, jnp.triu(r), impl=impl)
+    test/cholesky/validate.hpp:7-49 — rebuild A via transpose + summa).
+
+    chunks > 1 accumulates the squared norm over row panels of R^T R
+    without ever materializing the n x n product — at n=32768 f32 the
+    dense rebuild (A + R + product, 12 GB) plus temps exceeds HBM.
+    masked=True promises r is already exactly upper-triangular (true for
+    factor() outputs), skipping the 4-GB-class triu copy."""
+    rm = r if masked else jnp.triu(r)
+    if chunks > 1 and r.shape[0] % chunks == 0:
+        from capital_tpu.ops.precision import dot_general as _pdg
+
+        n = r.shape[0]
+        nb = n // chunks
+
+        def body(i, acc):
+            cols = jax.lax.dynamic_slice(rm, (0, i * nb), (n, nb))
+            # (R^T R)[i-th row panel, :] = rm[:, panel]^T @ rm
+            prod = _pdg(cols, rm, (((0,), (0,)), ((), ())))
+            a_pan = jax.lax.dynamic_slice(a, (i * nb, 0), (nb, n))
+            d = prod.astype(jnp.float32) - a_pan.astype(jnp.float32)
+            return acc + jnp.sum(d * d)
+
+        num = jnp.sqrt(jax.lax.fori_loop(0, chunks, body, jnp.float32(0)))
+        return num / _fro(a)
+    rr = summa.syrk(grid, rm, impl=impl)
     return _fro(rr - a) / _fro(a)
 
 
-def inverse_residual(grid: Grid, r, rinv, impl: str = "shard_map") -> jax.Array:
+def inverse_residual(grid: Grid, r, rinv, impl: str = "shard_map",
+                     chunks: int = 1, masked: bool = False) -> jax.Array:
     """||R Rinv - I||_F / sqrt(n) (ref: inverse::validate::invoke,
-    test/inverse/validate.hpp:7-34)."""
+    test/inverse/validate.hpp:7-34).
+
+    chunks > 1: panel accumulation; masked=True skips the triu copies
+    (see cholesky_residual)."""
     n = r.shape[0]
-    prod = summa.trmm(grid, jnp.triu(r), jnp.triu(rinv), side="L", uplo="U", impl=impl)
+    rm = r if masked else jnp.triu(r)
+    rim = rinv if masked else jnp.triu(rinv)
+    if chunks > 1 and n % chunks == 0:
+        from capital_tpu.ops.precision import dot as _pdot
+
+        nb = n // chunks
+
+        def body(i, acc):
+            rows = jax.lax.dynamic_slice(rm, (i * nb, 0), (nb, n))
+            prod = _pdot(rows, rim).astype(jnp.float32)
+            # subtract the matching rows of I
+            rr = i * nb + jax.lax.broadcasted_iota(jnp.int32, (nb, n), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (nb, n), 1)
+            d = prod - (rr == cc).astype(jnp.float32)
+            return acc + jnp.sum(d * d)
+
+        num = jnp.sqrt(jax.lax.fori_loop(0, chunks, body, jnp.float32(0)))
+        return num / jnp.sqrt(jnp.float32(n))
+    prod = summa.trmm(grid, rm, rim, side="L", uplo="U", impl=impl)
     eye = jnp.eye(n, dtype=r.dtype)
     return _fro(prod - eye) / jnp.sqrt(jnp.float32(n))
 
@@ -83,7 +129,8 @@ def qr_residual(grid: Grid, a, q, r, impl: str = "shard_map", layout: str = "aut
     if layout == "auto":
         layout = "1d" if _is_row_sharded(q) else "2d"
     if layout == "1d":
-        qr = blas.trmm(jnp.triu(r), q, side="R", uplo="U")
+        qr = blas.trmm(jnp.triu(r), q, side="R", uplo="U",
+                       platform=grid.platform)
     else:
         qr = summa.trmm(grid, jnp.triu(r), q, side="R", uplo="U", impl=impl)
     return _fro(qr - a) / _fro(a)

@@ -38,3 +38,29 @@ def test_lstsq(grid_rect):
     x = linalg.lstsq(grid_rect, a, b, cfg)
     x0, *_ = np.linalg.lstsq(np.asarray(a), np.asarray(b), rcond=None)
     np.testing.assert_allclose(np.asarray(x), x0, atol=1e-3)
+
+
+def test_chunked_validators_match(grid1):
+    """Panel-accumulated validators equal the dense formulas (the n=32768
+    memory path)."""
+    import jax
+    import numpy as np
+
+    from capital_tpu import matrix, validate
+    from capital_tpu.algs import cholinv
+
+    n = 256
+    a = matrix.symmetric(grid1, n, jax.random.key(40)).data
+    cfg = cholinv.Config(min_bc=64, base_method="xla", summa_impl="gspmd")
+    r, rinv = cholinv.factor(grid1, a, cfg)
+    d0 = float(validate.cholesky_residual(grid1, a, r, impl="gspmd"))
+    d1 = float(validate.cholesky_residual(grid1, a, r, impl="gspmd",
+                                          chunks=4))
+    i0 = float(validate.inverse_residual(grid1, r, rinv, impl="gspmd"))
+    i1 = float(validate.inverse_residual(grid1, r, rinv, impl="gspmd",
+                                         chunks=4))
+    # residuals are rounding-level (~1e-7): the two formulas accumulate in
+    # different orders, so only same-magnitude agreement is meaningful
+    np.testing.assert_allclose(d1, d0, rtol=0.5, atol=1e-7)
+    np.testing.assert_allclose(i1, i0, rtol=0.5, atol=1e-7)
+    assert d1 < 5e-6 and i1 < 5e-6
