@@ -238,7 +238,10 @@ def _sweep_1d(grid: Grid, a, cfg: Config):
 def _formq_inplace(grid: Grid, a, rinv, chunks: int):
     """Q = A @ triu(Rinv) overwriting A's row chunks in place (each Q row
     depends only on the same A row, so the read-then-write per chunk lets
-    XLA alias the buffer — the donated operand is never duplicated)."""
+    XLA alias the buffer — the donated operand is never duplicated).
+
+    Each chunk multiply goes through blas.trmm, i.e. the triangle-aware
+    Pallas kernel on TPU (~half the MXU flops of the plain dot)."""
     t = jnp.triu(rinv)
 
     def kern(a_blk, t_rep):
@@ -252,14 +255,17 @@ def _formq_inplace(grid: Grid, a, rinv, chunks: int):
 
         def body(i, buf):
             blk = lax.dynamic_slice_in_dim(buf, i * ch, ch, 0)
-            qc = _pdot(blk, t_rep).astype(buf.dtype)
+            qc = blas.trmm(t_rep, blk, side="R", uplo="U",
+                           platform=grid.platform).astype(buf.dtype)
             return lax.dynamic_update_slice_in_dim(buf, qc, i * ch, 0)
 
         return lax.fori_loop(0, nch, body, a_blk)
 
     f = jax.shard_map(kern, mesh=grid.mesh,
                       in_specs=(P(ALL_AXES, None), P(None, None)),
-                      out_specs=P(ALL_AXES, None))
+                      out_specs=P(ALL_AXES, None),
+                      # pallas outputs carry no vma annotation
+                      check_vma=False)
     return f(a, t)
 
 
@@ -273,7 +279,8 @@ def factor_1d(grid: Grid, a, cfg: Config = Config()):
         return q, r1
     q, r2 = _sweep_1d(grid, q, cfg)
     # merge R <- R2 @ R1 (ref: cacqr.hpp:204-210 — TRMM of the two factors).
-    r = blas.trmm(r2, jnp.triu(r1), side="L", uplo="U")
+    r = blas.trmm(r2, jnp.triu(r1), side="L", uplo="U",
+                  platform=grid.platform)
     return q, jnp.triu(r)
 
 
@@ -456,7 +463,8 @@ def factor_hybrid(grid: Grid, a, cfg: Config = Config()):
     if cfg.num_iter == 1:
         return q, jnp.triu(r1)
     q, r2 = _sweep_hybrid(grid, q, cfg)
-    r = blas.trmm(r2, jnp.triu(r1), side="L", uplo="U")
+    r = blas.trmm(r2, jnp.triu(r1), side="L", uplo="U",
+                  platform=grid.platform)
     return q, jnp.triu(r)
 
 
