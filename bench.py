@@ -51,24 +51,46 @@ def _time(f, a, iters=5, warmup=2):
     return min(times)
 
 
+def _regen(n, seed):
+    u = jax.random.uniform(jax.random.key(seed), (n, n), dtype=jnp.float32,
+                           minval=-0.5, maxval=0.5)
+    return (u + u.T) * 0.5 + n * jnp.eye(n, dtype=jnp.float32)
+
+
+def _time_donated(f, n, iters=3, warmup=1):
+    """Timed loop for a donating jit: regenerate the operand from a fresh
+    seed per iteration (fresh values defeat remote result caching), freeing
+    the previous outputs BEFORE regenerating — at n=32768 f32 the outputs
+    (8 GB) plus generation temps would not co-fit in HBM."""
+    regen = jax.jit(_regen, static_argnums=0)
+
+    def one(seed):
+        x = regen(n, seed)
+        _force(x)
+        t0 = time.perf_counter()
+        out = f(x)
+        _force(out)
+        dt = time.perf_counter() - t0
+        del out
+        return dt
+
+    for w in range(warmup):
+        one(1000 + w)
+    return min(one(i + 1) for i in range(iters))
+
+
 def main():
     from capital_tpu.grid import Grid
     from capital_tpu.algs import cholinv
 
-    n = 16384
     on_tpu = jax.default_backend() not in ("cpu",)
-    if not on_tpu:
-        n = 2048  # CPU smoke fallback
+    n = 32768 if on_tpu else 2048  # north-star shape (BASELINE.md)
 
     grid = Grid.square(c=1, d=1, devices=jax.devices()[:1])
-    u = jax.random.uniform(jax.random.key(0), (n, n), dtype=jnp.float32,
-                           minval=-0.5, maxval=0.5)
-    a = (u + u.T) * 0.5 + n * jnp.eye(n, dtype=jnp.float32)
-    a = jax.device_put(a, jax.devices()[0])
 
     cfg = cholinv.Config(base_method="auto", summa_impl="gspmd",
-                         complete_inv=True, bc_mult=1)  # autotuned: bc=1024
-    ours = jax.jit(lambda x: cholinv.factor(grid, x, cfg))
+                         complete_inv=True)  # bc=512 (autotuned 512-1024)
+    ours = jax.jit(lambda x: cholinv.factor(grid, x, cfg), donate_argnums=0)
 
     def make_xla_ref(nn):
         def xla_ref(x):
@@ -78,17 +100,22 @@ def main():
             return l.T, linv.T
         return jax.jit(xla_ref)
 
-    t_ours = _time(ours, a)
+    try:
+        t_ours = _time_donated(ours, n)
+    except Exception:
+        # fall back one size rather than reporting nothing
+        n //= 2
+        t_ours = _time_donated(ours, n)
 
-    # Baseline = stock XLA (cholesky + triangular_solve). At n=16384 its
+    # Baseline = stock XLA (cholesky + triangular_solve). At n>=16384 its
     # triangular-solve expansion OOMs 16-GB HBM, so fall back to the largest
     # size it can run and scale by the n^3 flop ratio (generous to the
     # baseline: its efficiency only improves with n).
-    nb = n
+    nb = min(n, 8192)
     t_xla = None
     while nb >= 2048:
         try:
-            t_xla = _time(make_xla_ref(nb), a[:nb, :nb]) * (n / nb) ** 3
+            t_xla = _time(make_xla_ref(nb), _regen(nb, 7)) * (n / nb) ** 3
             break
         except Exception:
             nb //= 2
