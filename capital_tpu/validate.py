@@ -129,8 +129,26 @@ def qr_residual(grid: Grid, a, q, r, impl: str = "shard_map", layout: str = "aut
     if layout == "auto":
         layout = "1d" if _is_row_sharded(q) else "2d"
     if layout == "1d":
-        qr = blas.trmm(jnp.triu(r), q, side="R", uplo="U",
-                       platform=grid.platform)
+        if grid.num_devices == 1:
+            qr = blas.trmm(jnp.triu(r), q, side="R", uplo="U",
+                           platform=grid.platform)
+        else:
+            # per-device local trmm (keeps the Pallas kernel inside the
+            # shard scope; a global pallas_call would force replication)
+            from jax.sharding import PartitionSpec as P
+
+            from capital_tpu.grid import ALL_AXES
+
+            rt = jnp.triu(r)
+
+            def kern(q_blk, r_rep):
+                return blas.trmm(r_rep, q_blk, side="R", uplo="U",
+                                 platform=grid.platform)
+
+            qr = jax.shard_map(kern, mesh=grid.mesh,
+                               in_specs=(P(ALL_AXES, None), P(None, None)),
+                               out_specs=P(ALL_AXES, None),
+                               check_vma=False)(q, rt)
     else:
         qr = summa.trmm(grid, jnp.triu(r), q, side="R", uplo="U", impl=impl)
     return _fro(qr - a) / _fro(a)

@@ -27,7 +27,8 @@ def test_trmm_upper_matches_oracle(side, trans_a):
     n, m = 512, 256
     u = _rand((n, n), 1)
     b = _rand((n, m) if side == "L" else (m, n), 2)
-    out = trmm_upper(u, b, side=side, trans_a=trans_a, interpret=True)
+    out = trmm_upper(u, b, side=side, trans_a=trans_a, interpret=True,
+                     t=256, mc=256)
     ref = _oracle(u, b, side, trans_a)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-6, atol=2e-5)
 
@@ -39,7 +40,7 @@ def test_trmm_upper_ignores_lower_garbage():
     u = _rand((n, n), 3)
     garbage = u + 1e6 * jnp.tril(jnp.ones((n, n)), k=-1)
     b = _rand((n, m), 4)
-    out = trmm_upper(garbage, b, side="L", interpret=True)
+    out = trmm_upper(garbage, b, side="L", interpret=True, t=256, mc=256)
     ref = _oracle(u, b, "L", False)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-6, atol=2e-5)
 
@@ -48,7 +49,7 @@ def test_trmm_upper_bf16():
     n, m = 512, 256
     u = _rand((n, n), 5, jnp.bfloat16)
     b = _rand((m, n), 6, jnp.bfloat16)
-    out = trmm_upper(u, b, side="R", interpret=True)
+    out = trmm_upper(u, b, side="R", interpret=True, t=256, mc=256)
     ref = _oracle(u, b, "R", False)
     np.testing.assert_allclose(np.asarray(out, np.float64), ref,
                                rtol=2e-2, atol=2e-2)
@@ -76,6 +77,6 @@ def test_blas_trmm_tri_method_routes():
     d0 = blas.trmm(u, b, side="L", uplo="U", method="dot")
     # interpret-mode Pallas via the kernel directly (method='tri' compiles
     # for TPU; on CPU we exercise the same code path interpreted)
-    d1 = trmm_upper(u, b, side="L", interpret=True)
+    d1 = trmm_upper(u, b, side="L", interpret=True, t=256, mc=256)
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
                                rtol=2e-6, atol=2e-5)
