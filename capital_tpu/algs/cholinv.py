@@ -104,6 +104,10 @@ class Config:
     summa_chunks: K-chunked gather/gemm pipelining depth for the shard_map
                   impl (the reference's num_chunks Ibcast knob,
                   summa.hpp:195-215).
+    summa_throttle: serialize the row/column operand gathers so at most one
+                  collective is in flight (the reference's
+                  COLLECTIVE_CONCURRENCY_SOLO/LAYER compile flags,
+                  summa.hpp:179-192, as a runtime knob).
     remat:        jax.checkpoint the recursion branches (FlushIntermediates
                   analog — trades FLOPs for peak memory).
     """
@@ -115,6 +119,7 @@ class Config:
     base_policy: BasePolicy = BasePolicy.REPLICATED
     summa_impl: str = "shard_map"
     summa_chunks: int = 1
+    summa_throttle: bool = False
     remat: bool = False
     # factorization direction (ref: the `dir` knob in the info pack,
     # cholinv.h:26-43): False -> A = R^T R (upper R), True -> A = L L^T
@@ -257,7 +262,8 @@ def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
     # (ref: cholinv.hpp:116-123 — transpose of R11inv + summa TRMM).
     with tracing.phase("CI::trsm"):
         r12 = summa.trmm(grid, r11inv, a12, side="L", uplo="U", trans_a=True,
-                         impl=cfg.summa_impl, num_chunks=cfg.summa_chunks)
+                         impl=cfg.summa_impl, num_chunks=cfg.summa_chunks,
+                         throttle=cfg.summa_throttle)
     w = jax.lax.dynamic_update_slice(w, r12, (off, mid))
 
     # Schur update: A22 <- A22 - R12^T R12 in the workspace
@@ -265,7 +271,8 @@ def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
     with tracing.phase("CI::tmu"):
         a22 = jax.lax.slice(w, (mid, mid), (end, end))
         s = summa.syrk(grid, r12, c=a22, alpha=-1.0, beta=1.0,
-                       impl=cfg.summa_impl, num_chunks=cfg.summa_chunks)
+                       impl=cfg.summa_impl, num_chunks=cfg.summa_chunks,
+                       throttle=cfg.summa_throttle)
     del r12  # re-read from W below; keeping it live would double the band
     w = jax.lax.dynamic_update_slice(w, s, (mid, mid))
 
@@ -277,10 +284,12 @@ def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
             r22inv = jax.lax.slice(ri, (mid, mid), (end, end))
             r12w = jax.lax.slice(w, (off, mid), (mid, end))  # R12, from W
             t = summa.trmm(grid, r22inv, r12w, side="R", uplo="U",
-                           impl=cfg.summa_impl, num_chunks=cfg.summa_chunks)
+                           impl=cfg.summa_impl, num_chunks=cfg.summa_chunks,
+                           throttle=cfg.summa_throttle)
             r12inv = summa.trmm(grid, r11inv, t, side="L", uplo="U",
                                 alpha=-1.0, impl=cfg.summa_impl,
-                                num_chunks=cfg.summa_chunks)
+                                num_chunks=cfg.summa_chunks,
+                                throttle=cfg.summa_throttle)
         ri = jax.lax.dynamic_update_slice(ri, r12inv, (off, mid))
     return w, ri
 

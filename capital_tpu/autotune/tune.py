@@ -93,6 +93,9 @@ def sweep_cholinv(grid: Grid, a, space: dict | None = None,
         "summa_impl": (["gspmd"] if grid.num_devices == 1
                        else ["shard_map", "ring"]),
         "summa_chunks": [1] if grid.num_devices == 1 else [1, 2],
+        # collective-concurrency throttle (ref: summa.hpp:179-192)
+        "summa_throttle": ([False] if grid.num_devices == 1
+                           else [False, True]),
         # the reference's BaseCasePolicy axis (policy.h:160-514)
         "base_policy": (["replicated"] if grid.num_devices == 1
                         else ["replicated", "layer"]),

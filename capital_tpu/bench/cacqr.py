@@ -24,7 +24,7 @@ def main(argv=None):
     p.add_argument("--variant", type=int, default=2,
                    help="1 = CholeskyQR, 2 = CholeskyQR2 (ref: argv variant)")
     p.add_argument("--gram-policy", default="allreduce",
-                   choices=["allreduce", "two_stage"])
+                   choices=["allreduce", "two_stage", "packed"])
     p.add_argument("--path", default="auto",
                choices=["auto", "1d", "3d", "hybrid"])
     p.add_argument("--base-method", default="auto",

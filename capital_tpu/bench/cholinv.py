@@ -30,6 +30,9 @@ def main(argv=None):
                    choices=["gspmd", "shard_map", "ring"])
     p.add_argument("--summa-chunks", type=int, default=1,
                    help="pipelined gather/gemm chunks (ref: num_chunks)")
+    p.add_argument("--summa-throttle", action="store_true",
+                   help="serialize operand gathers (ref: "
+                        "COLLECTIVE_CONCURRENCY_SOLO/LAYER flags)")
     p.add_argument("--base-policy", default="replicated",
                    choices=["replicated", "layer", "gather"],
                    help="base-case placement (ref: BaseCasePolicy)")
@@ -61,7 +64,7 @@ def main(argv=None):
         complete_inv=bool(args.complete_inv),
         base_method=args.base_method, summa_impl=args.summa_impl,
         summa_chunks=args.summa_chunks, base_policy=args.base_policy,
-        remat=args.remat,
+        summa_throttle=args.summa_throttle, remat=args.remat,
     )
 
     fn = jax.jit(lambda x: cholinv.factor(grid, x, cfg),

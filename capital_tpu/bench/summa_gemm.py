@@ -43,10 +43,14 @@ def main(argv=None):
     n = b.data.shape[1]
     extra = {"grid": grid.shape, "impl": args.impl}
     if not args.no_validate:
-        # spot-check one tile against local recompute
-        ref = jnp.dot(a.data[:256], b.data, preferred_element_type=jnp.float32)
-        err = float(jnp.max(jnp.abs(out[:256].astype(jnp.float32) - ref)))
-        extra["tile_err"] = err
+        # spot-check one tile against local recompute — at HIGHEST matmul
+        # precision, else the bf16-pass reference dot dominates the error
+        ref = jnp.dot(a.data[:256], b.data,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        err = float(jnp.max(jnp.abs(out[:256].astype(jnp.float32) - ref))
+                    / jnp.max(jnp.abs(ref)))
+        extra["tile_rel_err"] = err
     rec = report("summa_gemm", secs=secs, flops=2.0 * m * n * k, extra=extra,
                  as_json=args.json)
     if args.costs:

@@ -99,7 +99,8 @@ def _z_slice(a_blk, b_blk, ax_z):
     return a_sub, b_sub
 
 
-def _make_summa_kernel(ax_z, ax_y, ax_x, num_chunks: int = 1):
+def _make_summa_kernel(ax_z, ax_y, ax_x, num_chunks: int = 1,
+                       throttle: bool = False):
     """Local shard_map body over the grid's role axes.
     a_blk: (mb, kb), b_blk: (kb, nb) at coordinates (z, y, x).
 
@@ -109,7 +110,15 @@ def _make_summa_kernel(ax_z, ax_y, ax_x, num_chunks: int = 1):
     and multiplied separately, and because chunk i+1's gather has no data
     dependence on chunk i's gemm, XLA's async scheduler overlaps them
     (software-pipelined double buffering — the Wait/compute interleave of
-    summa.hpp:203-213)."""
+    summa.hpp:203-213).
+
+    throttle=True is the COLLECTIVE_CONCURRENCY throttle analog (ref:
+    summa.hpp:179-192 — compile-time flags restricting which grid planes
+    issue collectives concurrently): the A row-gather and B column-gather
+    are independent, so XLA issues them concurrently on two ICI dimensions;
+    an optimization_barrier chains B's gather behind A's so at most one
+    collective is in flight — same contention trade the reference's SOLO
+    flag makes."""
 
     def kern(a_blk, b_blk):
         a_sub, b_sub = _z_slice(a_blk, b_blk, ax_z)
@@ -123,6 +132,8 @@ def _make_summa_kernel(ax_z, ax_y, ax_x, num_chunks: int = 1):
             a_c = lax.slice_in_dim(a_sub, i * ka, (i + 1) * ka, axis=1)
             b_c = lax.slice_in_dim(b_sub, i * kb, (i + 1) * kb, axis=0)
             a_k = lax.all_gather(a_c, ax_x, axis=1, tiled=True)
+            if throttle:
+                a_k, b_c = lax.optimization_barrier((a_k, b_c))
             b_k = lax.all_gather(b_c, ax_y, axis=0, tiled=True)
             p = _pdot(a_k, b_k)
             part = p if part is None else part + p
@@ -179,7 +190,7 @@ def _make_ring_kernel(ax_z, ax_y, ax_x, d: int):
 
 
 def gemm(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
-         num_chunks: int = 1):
+         num_chunks: int = 1, throttle: bool = False):
     """C = alpha * A @ B + beta * C, distributed (ref: summa.hpp:6-44).
 
     impl: 'shard_map' (all_gather K panels; num_chunks > 1 pipelines the
@@ -187,6 +198,10 @@ def gemm(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
     knob, summa.hpp:195-215), 'ring' (Cannon rotation: nearest-neighbor
     single-hop ppermutes overlapped with per-step gemms; square slices
     only), or 'gspmd' (let the partitioner choose).
+
+    throttle serializes the two operand gathers (shard_map impl only) —
+    the reference's COLLECTIVE_CONCURRENCY_SOLO/LAYER compile flag
+    (summa.hpp:179-192) as a runtime knob.
 
     alpha/beta are applied as a fused elementwise epilogue on the already
     block-aligned output (the reference's save/restore AXPY, summa.hpp:27-35).
@@ -201,7 +216,7 @@ def gemm(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
             kern = _make_ring_kernel(grid.ax_z, grid.ax_y, grid.ax_x, grid.d)
         elif impl == "shard_map":
             kern = _make_summa_kernel(grid.ax_z, grid.ax_y, grid.ax_x,
-                                      num_chunks)
+                                      num_chunks, throttle)
         else:
             raise ValueError(f"unknown summa impl {impl!r}")
         f = jax.shard_map(
@@ -247,7 +262,7 @@ def transpose(grid: Grid, a, impl="shard_map"):
 
 
 def trmm(grid: Grid, a, b, *, side="L", uplo="U", trans_a=False, alpha=1.0,
-         impl="shard_map", num_chunks: int = 1):
+         impl="shard_map", num_chunks: int = 1, throttle: bool = False):
     """Distributed triangular multiply (ref: summa.hpp:46-83). Triangular
     structure is a global mask fused into the operand (see matrix.py); the
     multiply itself is the gemm engine.
@@ -279,9 +294,11 @@ def trmm(grid: Grid, a, b, *, side="L", uplo="U", trans_a=False, alpha=1.0,
     if trans_a:
         t = transpose(grid, t, impl=impl)
     if side == "L":
-        out = gemm(grid, t, b, alpha=alpha, impl=impl, num_chunks=num_chunks)
+        out = gemm(grid, t, b, alpha=alpha, impl=impl, num_chunks=num_chunks,
+                   throttle=throttle)
     else:
-        out = gemm(grid, b, t, alpha=alpha, impl=impl, num_chunks=num_chunks)
+        out = gemm(grid, b, t, alpha=alpha, impl=impl, num_chunks=num_chunks,
+                   throttle=throttle)
     return out
 
 
@@ -299,7 +316,7 @@ def _syrk_gspmd(grid: Grid, a, b, c, alpha, beta):
 
 
 def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
-         num_chunks: int = 1):
+         num_chunks: int = 1, throttle: bool = False):
     """C = alpha * A^T A + beta * C, distributed (ref: summa.hpp:85-161).
 
     shard_map impl: grid-transpose + gemm — the reference does exactly this
@@ -310,15 +327,15 @@ def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
         return _syrk_gspmd(grid, a, a, c, alpha, beta)
     at = transpose(grid, a, impl=impl)
     return gemm(grid, at, a, c=c, alpha=alpha, beta=beta, impl=impl,
-                num_chunks=num_chunks)
+                num_chunks=num_chunks, throttle=throttle)
 
 
 def syrk2(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0,
-          impl="shard_map", num_chunks: int = 1):
+          impl="shard_map", num_chunks: int = 1, throttle: bool = False):
     """Two-matrix SYRK: C = alpha * A^T B + beta * C (ref: the 2-matrix syrk
     overload, summa.hpp:85-108)."""
     if impl == "gspmd":
         return _syrk_gspmd(grid, a, b, c, alpha, beta)
     at = transpose(grid, a, impl=impl)
     return gemm(grid, at, b, c=c, alpha=alpha, beta=beta, impl=impl,
-                num_chunks=num_chunks)
+                num_chunks=num_chunks, throttle=throttle)

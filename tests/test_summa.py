@@ -118,6 +118,30 @@ def test_gemm_chunked_pipeline_matches(grid222, chunks):
                                rtol=1e-6, atol=1e-5)
 
 
+def test_gemm_throttled_matches(grid222):
+    """Serialized operand gathers (the COLLECTIVE_CONCURRENCY_SOLO/LAYER
+    throttle analog, ref: summa.hpp:179-192) are numerically identical to
+    the concurrent schedule — the optimization_barrier only orders issue."""
+    m = k = n = 128
+    a = matrix.rand(grid222, m, k, jax.random.key(41)).data
+    b = matrix.rand(grid222, k, n, jax.random.key(42)).data
+    c0 = summa.gemm(grid222, a, b)
+    c1 = summa.gemm(grid222, a, b, throttle=True)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_cholinv_with_throttled_summa(grid222):
+    from capital_tpu.algs import cholinv
+    from capital_tpu import validate
+
+    n = 256
+    a = matrix.symmetric(grid222, n, jax.random.key(43)).data
+    cfg = cholinv.Config(min_bc=64, base_method="xla", summa_throttle=True)
+    r, _ = cholinv.factor(grid222, a, cfg)
+    assert float(validate.cholesky_residual(grid222, a, r)) < 5e-6
+
+
 def test_cholinv_with_ring_summa(grid222):
     """End-to-end: the flagship recursion runs on the ring engine."""
     from capital_tpu.algs import cholinv
