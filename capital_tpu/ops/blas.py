@@ -79,11 +79,30 @@ def trmm(a, b, *, side="L", uplo="U", trans_a=False, diag="N", alpha=1.0,
     return out
 
 
-def syrk(a, *, c=None, uplo="U", trans="T", alpha=1.0, beta=0.0):
+def syrk(a, *, c=None, uplo="U", trans="T", alpha=1.0, beta=0.0,
+         method="auto", platform=None):
     """C = alpha * A^T A + beta * C (trans='T') or alpha * A A^T + beta * C
     (ref: ArgPack_syrk, engine.h:113-130). Returns the full symmetric result;
-    `uplo` only matters to callers that mask afterwards."""
-    out = _dot(a.T, a) if trans == "T" else _dot(a, a.T)
+    `uplo` only matters to callers that mask afterwards.
+
+    method='tri' routes trans='T' f32 through the triangle-aware Pallas
+    Gram kernel (upper tiles only — the dsyrk flop halving the reference
+    gets from MKL, interface.hpp:77-97); 'auto' picks it on TPU. bf16
+    stays on the plain dot (near memory-bound, no pass saving)."""
+    if method == "auto":
+        import os
+
+        from capital_tpu.ops.lapack import _on_tpu
+
+        on_tpu = platform in ("tpu", "axon") if platform else _on_tpu(a)
+        method = os.environ.get("CAPITAL_SYRK_METHOD") or (
+            "tri" if on_tpu else "dot")
+    if method == "tri" and trans == "T" and a.dtype == jnp.float32:
+        from capital_tpu.ops.pallas_syrk import syrk_upper
+
+        out = syrk_upper(a, out_dtype=a.dtype)
+    else:
+        out = _dot(a.T, a) if trans == "T" else _dot(a, a.T)
     if alpha != 1.0:
         out = alpha * out
     if c is not None and beta != 0.0:

@@ -29,16 +29,19 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_T = 256    # column tile (output tile side)
-_MC = 1024  # row chunk
-# VMEM: 2 input blocks (MC*T*4) + 2 output tiles (T^2*4) + f32 acc, all
-# double-buffered by the pipeline: ~2*(2*1M) + 2*(2*0.25M) + 0.25M ~ 5.25M
+_T = 512   # column tile (output tile side)
+_MC = 512  # row chunk
+# On-chip tile sweep (v5e): 512/512 beats 256/1024 by ~5% on both the
+# tall-skinny Gram (2^19 x 1024) and square Schur (16384^2) regimes;
+# t*mc = 1024*512 and anything larger overflow VMEM at compile.
+# VMEM: 2 input blocks (MC*T*4) + 2 output tiles (T^2*4) + 2 f32 acc,
+# all double-buffered by the pipeline: ~2*(2*1M) + 2*(2*1M) + 2*1M ~ 10M
 
 
 _FOLD = 32  # chunks per first-level accumulator
 
 
-def _kernel(ti_ref, tj_ref, ai_ref, aj_ref, g_ref, gt_ref, acc, acc2):
+def _kernel(prec_, ti_ref, tj_ref, ai_ref, aj_ref, g_ref, gt_ref, acc, acc2):
     """One (pair, chunk) step. ai/aj: (MC, T) column panels of this chunk;
     g/gt: (T, T) output tiles at (i, j) and (j, i); acc/acc2: two-level f32
     accumulation — folding every _FOLD chunks into acc2 bounds the
@@ -62,7 +65,7 @@ def _kernel(ti_ref, tj_ref, ai_ref, aj_ref, g_ref, gt_ref, acc, acc2):
         part = lax.dot_general(
             ai_ref[:], aj_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+            precision=prec_,
         )
     acc[:] += part
 
@@ -79,40 +82,52 @@ def _kernel(ti_ref, tj_ref, ai_ref, aj_ref, g_ref, gt_ref, acc, acc2):
 
 
 def syrk_upper(a: jax.Array, out_dtype=jnp.float32,
-               interpret: bool = False) -> jax.Array:
+               interpret: bool = False, t: int = _T,
+               mc: int = _MC, matmul_precision=None) -> jax.Array:
     """Full symmetric G = A^T A, computed as upper tiles only (~half the
-    MXU flops of a plain dot for n >> T)."""
+    MXU flops of a plain dot for n >> t).
+
+    t/mc override the output-tile side and row-chunk length (the 512/512
+    defaults win the on-chip sweep for both the tall-skinny Gram and the
+    square Schur-update regimes — see the module-constant comment).
+    matmul_precision overrides the f32 MXU pass count (None honors the
+    active `jax.default_matmul_precision`, defaulting to 6-pass HIGHEST —
+    the same policy as every XLA dot in the framework, ops/precision.py)."""
+    if matmul_precision is None:
+        from capital_tpu.ops.precision import prec
+
+        matmul_precision = prec()
     m, n = a.shape
-    if n % _T or m % _MC:
+    if n % t or m % mc:
         # ragged shapes: plain dot (still correct, no triangle saving)
         return jnp.dot(a.T, a, preferred_element_type=jnp.float32,
-                       precision=lax.Precision.HIGHEST).astype(out_dtype)
-    nt = n // _T
+                       precision=matmul_precision).astype(out_dtype)
+    nt = n // t
     pairs = [(i, j) for i in range(nt) for j in range(nt) if i <= j]
     ti = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
     tj = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
-    nc = m // _MC
+    nc = m // mc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # ti, tj lookup tables
         grid=(len(pairs), nc),
         in_specs=[
-            pl.BlockSpec((_MC, _T), lambda p, c, ti, tj: (c, ti[p]),
+            pl.BlockSpec((mc, t), lambda p, c, ti, tj: (c, ti[p]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_MC, _T), lambda p, c, ti, tj: (c, tj[p]),
+            pl.BlockSpec((mc, t), lambda p, c, ti, tj: (c, tj[p]),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((_T, _T), lambda p, c, ti, tj: (ti[p], tj[p]),
+            pl.BlockSpec((t, t), lambda p, c, ti, tj: (ti[p], tj[p]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_T, _T), lambda p, c, ti, tj: (tj[p], ti[p]),
+            pl.BlockSpec((t, t), lambda p, c, ti, tj: (tj[p], ti[p]),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((_T, _T), jnp.float32),
-                        pltpu.VMEM((_T, _T), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((t, t), jnp.float32),
+                        pltpu.VMEM((t, t), jnp.float32)],
     )
     g, gt = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, matmul_precision),
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=(
@@ -120,7 +135,7 @@ def syrk_upper(a: jax.Array, out_dtype=jnp.float32,
             jax.ShapeDtypeStruct((n, n), out_dtype),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(m) * n * (n + _T),  # ~2·m·n²/2
+            flops=int(m) * n * (n + t),  # ~2·m·n²/2
             bytes_accessed=int(m) * n * a.dtype.itemsize * 2,
             transcendentals=0,
         ),
@@ -128,6 +143,6 @@ def syrk_upper(a: jax.Array, out_dtype=jnp.float32,
     # g holds the upper tiles, gt the mirrored lower tiles (the diagonal
     # tiles land in both, identically); stitch them into the full symmetric
     # matrix with one elementwise select.
-    row_t = lax.broadcasted_iota(jnp.int32, (n, n), 0) // _T
-    col_t = lax.broadcasted_iota(jnp.int32, (n, n), 1) // _T
+    row_t = lax.broadcasted_iota(jnp.int32, (n, n), 0) // t
+    col_t = lax.broadcasted_iota(jnp.int32, (n, n), 1) // t
     return jnp.where(row_t <= col_t, g, gt)

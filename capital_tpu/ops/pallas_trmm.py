@@ -53,9 +53,10 @@ def _mask_diag_triu(u_tile, is_diag):
     return jnp.where(keep, u_tile, jnp.zeros_like(u_tile))
 
 
-def _tile_dot(a, b, contract_dim0: bool):
+def _tile_dot(a, b, contract_dim0: bool, prec_=lax.Precision.HIGHEST):
     """f32-accumulated MXU product; contract_dim0 contracts dimension 0 of
-    `a` against dimension 0 of `b` (the transposed-operand case)."""
+    `a` against dimension 0 of `b` (the transposed-operand case). prec_
+    sets the f32 MXU pass count (bf16 inputs run at native rate)."""
     if contract_dim0:
         if a.dtype == jnp.bfloat16:
             # Mosaic rejects dim-0 contraction on a bf16 lhs; an explicit
@@ -63,14 +64,14 @@ def _tile_dot(a, b, contract_dim0: bool):
             return jnp.dot(a.T, b, preferred_element_type=jnp.float32)
         return lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=lax.Precision.HIGHEST)
+                               precision=prec_)
     if a.dtype == jnp.bfloat16:
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=lax.Precision.HIGHEST)
+                   precision=prec_)
 
 
-def _make_kernel(contract_dim0: bool, write_pred):
+def _make_kernel(contract_dim0: bool, write_pred, prec_):
     """write_pred(k, o, nt) -> bool: is this the LAST pair of output tile
     o's accumulation run (the step at which acc is flushed)?"""
 
@@ -84,11 +85,11 @@ def _make_kernel(contract_dim0: bool, write_pred):
         is_diag = to_ref[p] == tk_ref[p]
         u = _mask_diag_triu(u_ref[:], is_diag)
         if contract_dim0:
-            acc[:] += _tile_dot(u, b_ref[:], True)
+            acc[:] += _tile_dot(u, b_ref[:], True, prec_)
         else:
             # side='L': U-tile @ B-panel; side='R': B-panel @ U-tile — the
             # caller orders (u_ref, b_ref) so this is always lhs @ rhs
-            acc[:] += _tile_dot(u, b_ref[:], False)
+            acc[:] += _tile_dot(u, b_ref[:], False, prec_)
 
         @pl.when(write_pred(tk_ref[p], to_ref[p], pl.num_programs(1)))
         def _():
@@ -113,24 +114,32 @@ def _pairs(nt: int, lower_k: bool):
 
 def trmm_upper(u: jax.Array, b: jax.Array, *, side: str = "L",
                trans_a: bool = False, interpret: bool = False,
-               t: int = _T, mc: int = _MC) -> jax.Array:
+               t: int = _T, mc: int = _MC,
+               matmul_precision=None) -> jax.Array:
     """Triangle-aware multiply by upper-triangular U (see module doc).
     Shapes: side='L': U (n,n), B (n,m) -> (n,m); side='R': B (m,n), U (n,n)
     -> (m,n). Falls back to a masked dot for tile-ragged shapes.
-    t / mc override the triangular / rectangular tile sides (autotuning)."""
+    t / mc override the triangular / rectangular tile sides (autotuning).
+    matmul_precision overrides the f32 MXU pass count (None honors the
+    active `jax.default_matmul_precision`, defaulting to 6-pass HIGHEST —
+    the same policy as every XLA dot in the framework, ops/precision.py)."""
     if side == "R" and trans_a:
         raise NotImplementedError("side='R' with trans_a")
+    if matmul_precision is None:
+        from capital_tpu.ops.precision import prec
+
+        matmul_precision = prec()
     global _T, _MC
     old = (_T, _MC)
     try:
         _T, _MC = t, mc
         return _trmm_upper_impl(u, b, side=side, trans_a=trans_a,
-                                interpret=interpret)
+                                interpret=interpret, prec_=matmul_precision)
     finally:
         _T, _MC = old
 
 
-def _trmm_upper_impl(u, b, *, side, trans_a, interpret):
+def _trmm_upper_impl(u, b, *, side, trans_a, interpret, prec_):
     n = u.shape[0]
     if side == "L":
         m = b.shape[1]
@@ -144,10 +153,10 @@ def _trmm_upper_impl(u, b, *, side, trans_a, interpret):
             return lax.dot_general(
                 t, b, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST).astype(b.dtype)
+                precision=prec_).astype(b.dtype)
         lhs, rhs = (t, b) if side == "L" else (b, t)
         return jnp.dot(lhs, rhs, preferred_element_type=jnp.float32,
-                       precision=lax.Precision.HIGHEST).astype(b.dtype)
+                       precision=prec_).astype(b.dtype)
 
     nt = n // _T
     if side == "L" and not trans_a:
@@ -207,13 +216,13 @@ def _trmm_upper_impl(u, b, *, side, trans_a, interpret):
                 acc[:] = jnp.zeros_like(acc)
 
             u_t = _mask_diag_triu(u_ref[:], to_ref[p] == tk_ref[p])
-            acc[:] += _tile_dot(bp_ref[:], u_t, False)
+            acc[:] += _tile_dot(bp_ref[:], u_t, False, prec_)
 
             @pl.when(tk_ref[p] == to_ref[p])
             def _():
                 out_ref[:] = acc[:].astype(out_ref.dtype)
     else:
-        kern = _make_kernel(contract0, write_pred)
+        kern = _make_kernel(contract0, write_pred, prec_)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -322,7 +322,19 @@ def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
     shard_map impl: grid-transpose + gemm — the reference does exactly this
     (A times A-grid-transposed, summa.hpp:110-161) because block-cyclic
     layout breaks local symmetry; the same argument holds for mesh sharding.
-    gspmd impl: contract axis 0 directly, no transpose relayout."""
+    gspmd impl: contract axis 0 directly, no transpose relayout.
+
+    On a single-device grid the call is one local syrk: route to the
+    triangle-aware kernel layer (upper tiles only — half the MXU flops,
+    the dsyrk saving of the reference's MKL local kernels,
+    interface.hpp:77-97). This is the dominant-flop call of cholinv's
+    Schur updates (ref: cholinv.hpp:131-134)."""
+    if grid.num_devices == 1:
+        from capital_tpu.ops import blas
+
+        _record_gemm_cost(grid, a, a)
+        return blas.syrk(a, c=c, alpha=alpha, beta=beta,
+                         platform=grid.platform)
     if impl == "gspmd":
         return _syrk_gspmd(grid, a, a, c, alpha, beta)
     at = transpose(grid, a, impl=impl)

@@ -65,6 +65,18 @@ def test_syrk(grid222):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-4)
 
 
+def test_syrk_single_device_local_path(grid1):
+    """On a 1-device grid syrk routes through the local blas.syrk (the
+    triangle-kernel dispatch layer on TPU; plain dot here on CPU) — same
+    semantics as the distributed schedule, including the alpha/beta
+    epilogue (the cholinv Schur-update shape, ref: cholinv.hpp:131-134)."""
+    a = matrix.rand(grid1, 64, 32, jax.random.key(5)).data
+    c = matrix.rand(grid1, 32, 32, jax.random.key(6)).data
+    out = summa.syrk(grid1, a, c=c, alpha=-1.0, beta=1.0)
+    ref = np.asarray(c) - np.asarray(a).T @ np.asarray(a)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-4)
+
+
 def test_divisibility_check(grid222):
     a = jnp.zeros((32, 34))  # k=34 not divisible by d*c=4
     b = jnp.zeros((34, 32))
