@@ -90,6 +90,14 @@ def main():
 
     cfg = cholinv.Config(base_method="auto", summa_impl="gspmd",
                          complete_inv=True)  # bc=512 (autotuned 512-1024)
+    # Headline precision: 'high' (3 bf16 MXU passes, incl. the software
+    # lowering inside the triangle Pallas kernels — ops/pallas_dot.py).
+    # Residual at this config, n=32768: 4.0e-7 / inv 2.9e-7 (BENCH_LOCAL.md)
+    # — far inside the 1e-5 acceptance bar, 1.67x faster than the 6-pass
+    # f32-faithful HIGHEST default (which remains the framework default).
+    # The XLA baseline below keeps ITS default (1-pass bf16 dots inside
+    # cholesky/triangular_solve) — it is never slowed by this choice.
+    jax.config.update("jax_default_matmul_precision", "high")
     ours = jax.jit(lambda x: cholinv.factor(grid, x, cfg), donate_argnums=0)
 
     def make_xla_ref(nn):
@@ -106,6 +114,7 @@ def main():
         # fall back one size rather than reporting nothing
         n //= 2
         t_ours = _time_donated(ours, n)
+    jax.config.update("jax_default_matmul_precision", None)
 
     # Baseline = stock XLA (cholesky + triangular_solve). At n>=16384 its
     # triangular-solve expansion OOMs 16-GB HBM, so fall back to the largest

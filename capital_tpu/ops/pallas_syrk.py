@@ -56,18 +56,11 @@ def _kernel(prec_, ti_ref, tj_ref, ai_ref, aj_ref, g_ref, gt_ref, acc, acc2):
         acc[:] = jnp.zeros_like(acc)
         acc2[:] = jnp.zeros_like(acc2)
 
-    if ai_ref.dtype == jnp.bfloat16:
-        # Mosaic rejects dim-0 contraction on bf16 lhs ("Bad lhs type");
-        # an explicit in-VMEM transpose keeps the matmul at bf16 MXU rate
-        part = jnp.dot(ai_ref[:].T, aj_ref[:],
-                       preferred_element_type=jnp.float32)
-    else:
-        part = lax.dot_general(
-            ai_ref[:], aj_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec_,
-        )
-    acc[:] += part
+    from capital_tpu.ops.pallas_dot import tile_dot
+
+    # dim-0 contraction (A_i^T A_j); tile_dot handles the bf16 "Bad lhs
+    # type" transpose and the software HIGH (3-pass) lowering
+    acc[:] += tile_dot(ai_ref[:], aj_ref[:], contract_dim0=True, prec=prec_)
 
     @pl.when(jnp.logical_and((c + 1) % _FOLD == 0, c != nc - 1))
     def _():

@@ -56,19 +56,11 @@ def _mask_diag_triu(u_tile, is_diag):
 def _tile_dot(a, b, contract_dim0: bool, prec_=lax.Precision.HIGHEST):
     """f32-accumulated MXU product; contract_dim0 contracts dimension 0 of
     `a` against dimension 0 of `b` (the transposed-operand case). prec_
-    sets the f32 MXU pass count (bf16 inputs run at native rate)."""
-    if contract_dim0:
-        if a.dtype == jnp.bfloat16:
-            # Mosaic rejects dim-0 contraction on a bf16 lhs; an explicit
-            # in-VMEM transpose keeps the matmul at bf16 MXU rate
-            return jnp.dot(a.T, b, preferred_element_type=jnp.float32)
-        return lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=prec_)
-    if a.dtype == jnp.bfloat16:
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=prec_)
+    sets the f32 MXU pass count — 6 (HIGHEST), 3 (HIGH, software-lowered:
+    Mosaic can't) or 1 (DEFAULT); bf16 inputs run at native rate."""
+    from capital_tpu.ops.pallas_dot import tile_dot
+
+    return tile_dot(a, b, contract_dim0=contract_dim0, prec=prec_)
 
 
 def _make_kernel(contract_dim0: bool, write_pred, prec_):
