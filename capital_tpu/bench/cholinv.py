@@ -72,6 +72,10 @@ def main(argv=None):
     with tracing.trace() as t:
         jax.eval_shape(fn, a.data)  # cost accounting pass (critter analog)
 
+    import contextlib
+
+    prof = (tracing.profile(args.profile_dir) if args.profile_dir
+            else contextlib.nullcontext())
     if args.donate:
         # donation consumes the input; regenerate from a fresh seed per
         # iteration (defeats remote result caching the same way _perturb
@@ -91,21 +95,20 @@ def main(argv=None):
         force((r, rinv))
         times = []
         last_seed = 0
-        for i in range(args.num_iter):
-            del r, rinv
-            x = regen(i + 1)
-            force(x)
-            last_seed = i + 1
-            t0 = _time.perf_counter()
-            r, rinv = fn(x)
-            force((r, rinv))
-            times.append(_time.perf_counter() - t0)
+        with prof:
+            for i in range(args.num_iter):
+                del r, rinv
+                x = regen(i + 1)
+                force(x)
+                last_seed = i + 1
+                t0 = _time.perf_counter()
+                r, rinv = fn(x)
+                force((r, rinv))
+                times.append(_time.perf_counter() - t0)
         secs = min(times)
-    elif args.profile_dir:
-        with tracing.profile(args.profile_dir):
-            secs, _, (r, rinv) = timed_loop(fn, (a.data,), args.num_iter)
     else:
-        secs, _, (r, rinv) = timed_loop(fn, (a.data,), args.num_iter)
+        with prof:
+            secs, _, (r, rinv) = timed_loop(fn, (a.data,), args.num_iter)
 
     n = args.n
     flops = 2 * n**3 / 3  # chol + full triangular inverse
