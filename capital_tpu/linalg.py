@@ -33,18 +33,46 @@ def _arr(x):
     return x.data if isinstance(x, DistMatrix) else x
 
 
-def spd_solve(grid: Grid, a, b, cfg: cholinv.Config | None = None):
+def spd_solve(grid: Grid, a, b, cfg: cholinv.Config | None = None,
+              refine: int = 0, factor=None):
     """x = A^{-1} b for SPD A ((n, n) sharded on the slice; b (n, k)).
 
     A = R^T R  =>  x = R^{-1} (R^{-T} b): two summa TRMMs against the
     explicit inverse — communication-avoiding in the same way the
-    reference's TRSM step is (cholinv.hpp:116-123)."""
+    reference's TRSM step is (cholinv.hpp:116-123).
+
+    refine: number of iterative-refinement sweeps
+        x <- x + R^{-1} R^{-T} (b - A x), with the residual gemm pinned to
+    HIGHEST matmul precision. Each sweep costs three n²k-class products —
+    negligible next to the n³ factorization for k << n — and contracts the
+    solve error by ~kappa(A)·eps_factor, so a factorization computed at
+    the fast 3-pass 'high' precision (or reused in bf16) recovers
+    HIGHEST-class solve residuals in 1-2 sweeps. Classic Wilkinson mixed-
+    precision refinement; the reference has no solve path at all (its TRSM
+    is a stub, diaginvert.hpp:9).
+
+    factor: optional precomputed (R, Rinv) pair — reuse one factorization
+    across many right-hand sides."""
     a, b = _arr(a), _arr(b)
     cfg = cfg or cholinv.Config(summa_impl="gspmd")
-    r, rinv = cholinv.factor(grid, a, cfg)
-    y = summa.trmm(grid, rinv, b, side="L", uplo="U", trans_a=True,
-                   impl=cfg.summa_impl)
-    x = summa.trmm(grid, rinv, y, side="L", uplo="U", impl=cfg.summa_impl)
+    if factor is None:
+        _, rinv = cholinv.factor(grid, a, cfg)
+    else:
+        _, rinv = factor
+
+    def apply_inv(v):
+        y = summa.trmm(grid, rinv, v, side="L", uplo="U", trans_a=True,
+                       impl=cfg.summa_impl)
+        return summa.trmm(grid, rinv, y, side="L", uplo="U",
+                          impl=cfg.summa_impl)
+
+    x = apply_inv(b)
+    for _ in range(refine):
+        # the residual must be computed MORE accurately than the factor
+        # or refinement stalls; pin its gemm to 6-pass f32
+        with jax.default_matmul_precision("highest"):
+            res = b - summa.gemm(grid, a, x, impl=cfg.summa_impl)
+        x = x + apply_inv(res)
     return x
 
 
@@ -57,19 +85,35 @@ def inv(grid: Grid, a, cfg: cholinv.Config | None = None):
     return summa.gemm(grid, jnp.triu(rinv), rinv_t, impl=cfg.summa_impl)
 
 
-def lstsq(grid: Grid, a, b, cfg: cacqr.Config | None = None):
+def lstsq(grid: Grid, a, b, cfg: cacqr.Config | None = None,
+          refine: int = 0):
     """min ||A x - b||_2 for tall-skinny A ((m, n) row-sharded over the full
     mesh, m >> n; b (m, k) sharded likewise). x is (n, k) replicated.
 
     CholeskyQR2 gives Q (row-sharded) and R (replicated):
     x = R^{-1} Q^T b — the Q^T b product is one psum over the mesh
-    (apply_QT, which the reference left unimplemented)."""
+    (apply_QT, which the reference left unimplemented).
+
+    refine: iterative-refinement sweeps on the normal-equations residual:
+        x <- x + R^{-1} Q^T (b - A x), residual gemm pinned to HIGHEST.
+    Each sweep is two mnk-class products (row-local; one psum for Q^T r) —
+    cheap next to the 4mn² factorization for k << n."""
     a, b = _arr(a), _arr(b)
     cfg = cfg or cacqr.Config(num_iter=2)
     q, r = cacqr.factor_1d(grid, a, cfg)
-    qtb = cacqr.apply_q(grid, q, b, trans=True, cfg=cfg, layout="1d")
-    # x = R^{-1} (Q^T b): R is small and replicated — local triangular solve
-    x = jax.lax.linalg.triangular_solve(
-        jnp.triu(r).astype(jnp.float32), qtb.astype(jnp.float32),
-        left_side=True, lower=False)
+
+    def solve_r(rhs):
+        # R is small and replicated — local triangular solve
+        return jax.lax.linalg.triangular_solve(
+            jnp.triu(r).astype(jnp.float32), rhs.astype(jnp.float32),
+            left_side=True, lower=False)
+
+    x = solve_r(cacqr.apply_q(grid, q, b, trans=True, cfg=cfg, layout="1d"))
+    for _ in range(refine):
+        with jax.default_matmul_precision("highest"):
+            from capital_tpu.ops.precision import dot as _pdot
+
+            res = b - _pdot(a, x.astype(a.dtype)).astype(a.dtype)
+        x = x + solve_r(
+            cacqr.apply_q(grid, q, res, trans=True, cfg=cfg, layout="1d"))
     return x.astype(a.dtype)

@@ -19,6 +19,56 @@ def test_spd_solve(grid122):
     assert res < 1e-5, res
 
 
+def test_spd_solve_refine_recovers_degraded_factor(grid122):
+    """Iterative refinement: a factor degraded to bf16 (simulating a fast
+    low-precision factorization — CPU ignores matmul-precision tiers, so
+    degradation is injected on the factor itself) must recover full-f32
+    solve residuals within two sweeps."""
+    n, k = 256, 16
+    a = matrix.symmetric(grid122, n, jax.random.key(10)).data
+    b = matrix.rand(grid122, n, k, jax.random.key(11)).data
+    cfg = cholinv.Config(min_bc=64, base_method="xla", summa_impl="shard_map")
+    r, rinv = cholinv.factor(grid122, a, cfg)
+    bad = (r.astype(jnp.bfloat16).astype(jnp.float32),
+           rinv.astype(jnp.bfloat16).astype(jnp.float32))
+
+    def res(x):
+        out = np.linalg.norm(np.asarray(a) @ np.asarray(x) - np.asarray(b))
+        return out / np.linalg.norm(np.asarray(b))
+
+    r0 = res(linalg.spd_solve(grid122, a, b, cfg, factor=bad))
+    r2 = res(linalg.spd_solve(grid122, a, b, cfg, factor=bad, refine=2))
+    assert r0 > 1e-4          # the degraded factor alone is bf16-class
+    assert r2 < 1e-5, (r0, r2)  # refinement recovers f32-class
+    assert r2 < r0 / 50
+
+
+def test_spd_solve_factor_reuse(grid122):
+    """The factor= path equals factoring inside the call."""
+    n, k = 256, 16
+    a = matrix.symmetric(grid122, n, jax.random.key(12)).data
+    b = matrix.rand(grid122, n, k, jax.random.key(13)).data
+    cfg = cholinv.Config(min_bc=64, base_method="xla", summa_impl="shard_map")
+    fac = cholinv.factor(grid122, a, cfg)
+    x0 = linalg.spd_solve(grid122, a, b, cfg)
+    x1 = linalg.spd_solve(grid122, a, b, cfg, factor=fac)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x1), atol=1e-6)
+
+
+def test_lstsq_refine(grid_rect):
+    """One refinement sweep must not hurt, and tightens a perturbed-R
+    solve back to the oracle."""
+    m, n, k = 2048, 64, 8
+    a = matrix.tall_skinny(grid_rect, m, n, jax.random.key(14)).data
+    b = matrix.rand(grid_rect, m, k, jax.random.key(15),
+                    spec=jax.sharding.PartitionSpec(("z", "y", "x"), None),
+                    row_tile=grid_rect.num_devices).data
+    cfg = cacqr.Config(num_iter=2, base_method="xla")
+    x0, *_ = np.linalg.lstsq(np.asarray(a), np.asarray(b), rcond=None)
+    x = linalg.lstsq(grid_rect, a, b, cfg, refine=1)
+    np.testing.assert_allclose(np.asarray(x), x0, atol=1e-3)
+
+
 def test_inv(grid122):
     n = 128
     a = matrix.symmetric(grid122, n, jax.random.key(2)).data
