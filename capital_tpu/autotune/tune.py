@@ -99,6 +99,10 @@ def sweep_cholinv(grid: Grid, a, space: dict | None = None,
         # the reference's BaseCasePolicy axis (policy.h:160-514)
         "base_policy": (["replicated"] if grid.num_devices == 1
                         else ["replicated", "layer"]),
+        # MXU pass-count ladder (ops/precision.py; reaches the Pallas
+        # triangle kernels through ops/pallas_dot.py) — a tuning axis the
+        # reference cannot have (MKL is always f64)
+        "precision": ["highest", "high"],
     }
     out = []
     keys = list(space)
@@ -129,6 +133,7 @@ def sweep_cacqr(grid: Grid, a, space: dict | None = None,
         "num_iter": [1, 2],
         "gram_policy": ["allreduce", "two_stage", "packed"],
         "base_method": ["auto"],
+        "precision": ["highest", "high"],
     }
     out = []
     keys = list(space)
