@@ -121,17 +121,12 @@ def trmm_upper(u: jax.Array, b: jax.Array, *, side: str = "L",
         from capital_tpu.ops.precision import prec
 
         matmul_precision = prec()
-    global _T, _MC
-    old = (_T, _MC)
-    try:
-        _T, _MC = t, mc
-        return _trmm_upper_impl(u, b, side=side, trans_a=trans_a,
-                                interpret=interpret, prec_=matmul_precision)
-    finally:
-        _T, _MC = old
+    return _trmm_upper_impl(u, b, side=side, trans_a=trans_a,
+                            interpret=interpret, prec_=matmul_precision,
+                            _T=t, _MC=mc)
 
 
-def _trmm_upper_impl(u, b, *, side, trans_a, interpret, prec_):
+def _trmm_upper_impl(u, b, *, side, trans_a, interpret, prec_, _T, _MC):
     n = u.shape[0]
     if side == "L":
         m = b.shape[1]
