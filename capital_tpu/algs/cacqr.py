@@ -83,15 +83,22 @@ class Config:
 # Gram reductions (the only collectives on the 1D path)
 # ---------------------------------------------------------------------------
 
-def _resolve_gram_kernel(kernel: str, dtype, platform: str) -> str:
+def _resolve_gram_kernel(kernel: str, dtype, platform: str,
+                         n: int | None = None) -> str:
     """'tri' = triangle-aware Pallas syrk (half the MXU flops — the dsyrk
     saving XLA's dot lacks, ref: the reference delegates to MKL dsyrk,
-    src/blas/interface.hpp:77-97); 'auto' picks it for f32 on TPU where it
-    measures ~2x on Gram compute (bf16 grams are near memory-bound and
-    don't benefit)."""
+    src/blas/interface.hpp:77-97); 'auto' picks it on TPU: always for f32
+    (~2x on Gram compute), and for bf16 at n >= 2048 (measured 29% at
+    n=4096 with the long-chunk bf16 tiles; a wash at n=1024 where XLA's
+    1-pass gemm already runs at 92% of peak)."""
     if kernel == "auto":
-        return "tri" if (platform in ("tpu", "axon")
-                         and dtype == jnp.float32) else "dot"
+        if platform not in ("tpu", "axon"):
+            return "dot"
+        if dtype == jnp.float32:
+            return "tri"
+        if dtype == jnp.bfloat16 and n is not None and n >= 2048:
+            return "tri"
+        return "dot"
     return kernel
 
 
@@ -144,7 +151,7 @@ def gram_1d(grid: Grid, a, policy: str = "allreduce", kernel: str = "dot"):
     (ref: local _syrk + MPI_Allreduce on world, cacqr.hpp:14-17 +
     policy.h:18-24)."""
     n = a.shape[1]
-    kernel = _resolve_gram_kernel(kernel, a.dtype, grid.platform)
+    kernel = _resolve_gram_kernel(kernel, a.dtype, grid.platform, n)
 
     if policy == "allreduce":
         def kern(a_blk):
@@ -364,7 +371,7 @@ def gram_hybrid(grid: Grid, a, policy: str = "two_stage",
     packed-triangle form (half the words, ref: policy.h:77-85).
     """
     n = a.shape[1]
-    kernel = _resolve_gram_kernel(kernel, a.dtype, grid.platform)
+    kernel = _resolve_gram_kernel(kernel, a.dtype, grid.platform, n)
     zx_spec = P(AXIS_Z, AXIS_X)
 
     if policy == "two_stage":

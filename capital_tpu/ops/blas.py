@@ -51,15 +51,25 @@ def trmm(a, b, *, side="L", uplo="U", trans_a=False, diag="N", alpha=1.0,
 
     method='tri' uses the triangle-aware Pallas kernel (half the MXU flops
     — the dtrmm saving the reference gets from MKL, interface.hpp:54-75);
-    'auto' picks it on TPU for the supported upper-triangular cases."""
+    'auto' picks it on TPU for the supported upper-triangular cases, with
+    ONE measured exception: the bf16 tall-skinny side='R' formQ shape at
+    narrow n (< 2048), where XLA's 1-pass gemm already runs near peak and
+    fuses into the surrounding in-place row-chunk updates — a pallas_call
+    boundary there costs +11% on the 2^22 x 1024 bf16 QR. Everywhere else
+    tri wins; notably, demoting the SMALL square bf16 blocks of cholinv's
+    recursion to dots measured 2.3x WORSE end-to-end (the lone fusions
+    broke XLA's whole-workspace in-place aliasing), so no block-size gate."""
     if method == "auto":
         import os
 
         from capital_tpu.ops.lapack import _on_tpu
 
         on_tpu = platform in ("tpu", "axon") if platform else _on_tpu(b)
+        formq_like = (a.dtype == jnp.bfloat16 and side == "R"
+                      and a.shape[0] < 2048
+                      and b.shape[0] > 4 * a.shape[0])
         method = os.environ.get("CAPITAL_TRMM_METHOD") or (
-            "tri" if on_tpu else "dot")
+            "tri" if on_tpu and not formq_like else "dot")
     if (method == "tri" and uplo == "U" and diag == "N"
             and not (side == "R" and trans_a)
             and a.dtype in (jnp.float32, jnp.bfloat16)):
@@ -85,19 +95,24 @@ def syrk(a, *, c=None, uplo="U", trans="T", alpha=1.0, beta=0.0,
     (ref: ArgPack_syrk, engine.h:113-130). Returns the full symmetric result;
     `uplo` only matters to callers that mask afterwards.
 
-    method='tri' routes trans='T' f32 through the triangle-aware Pallas
-    Gram kernel (upper tiles only — the dsyrk flop halving the reference
-    gets from MKL, interface.hpp:77-97); 'auto' picks it on TPU. bf16
-    stays on the plain dot (near memory-bound, no pass saving)."""
+    method='tri' routes trans='T' through the triangle-aware Pallas Gram
+    kernel (upper tiles only — the dsyrk flop halving the reference gets
+    from MKL, interface.hpp:77-97); 'auto' picks it on TPU: always for
+    f32, and for bf16 when n >= 2048 (measured on-chip: 29% over XLA's
+    dot at n=4096; a wash at n=1024, where XLA's 1-pass gemm is already
+    at 92% of peak and the kernel's short steps pay grid overhead)."""
     if method == "auto":
         import os
 
         from capital_tpu.ops.lapack import _on_tpu
 
         on_tpu = platform in ("tpu", "axon") if platform else _on_tpu(a)
+        dtype_ok = a.dtype == jnp.float32 or (
+            a.dtype == jnp.bfloat16 and a.shape[-1] >= 2048)
         method = os.environ.get("CAPITAL_SYRK_METHOD") or (
-            "tri" if on_tpu else "dot")
-    if method == "tri" and trans == "T" and a.dtype == jnp.float32:
+            "tri" if on_tpu and dtype_ok else "dot")
+    if (method == "tri" and trans == "T"
+            and a.dtype in (jnp.float32, jnp.bfloat16)):
         from capital_tpu.ops.pallas_syrk import syrk_upper
 
         out = syrk_upper(a, out_dtype=a.dtype)

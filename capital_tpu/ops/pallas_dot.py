@@ -85,7 +85,16 @@ def tile_dot(a, b, contract_dim0: bool = False,
     prec = canonicalize(prec)
     if a.dtype == jnp.bfloat16:
         if contract_dim0:
-            a = a.T
+            # Mosaic rejects a bf16 lhs on dim-0 contraction ("Bad lhs
+            # type"). Upcasting to f32 and letting the MXU's own DEFAULT-
+            # precision bf16 rounding undo it (exact: the values ARE bf16)
+            # keeps the contraction transpose-free — an in-VMEM 512² bf16
+            # transpose per step costs more VPU time than the convert.
+            return lax.dot_general(a.astype(jnp.float32),
+                                   b.astype(jnp.float32),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=lax.Precision.DEFAULT)
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
                        precision=lax.Precision.DEFAULT)
     if prec == lax.Precision.HIGHEST:

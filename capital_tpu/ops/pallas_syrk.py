@@ -75,14 +75,17 @@ def _kernel(prec_, ti_ref, tj_ref, ai_ref, aj_ref, g_ref, gt_ref, acc, acc2):
 
 
 def syrk_upper(a: jax.Array, out_dtype=jnp.float32,
-               interpret: bool = False, t: int = _T,
-               mc: int = _MC, matmul_precision=None) -> jax.Array:
+               interpret: bool = False, t: int | None = None,
+               mc: int | None = None, matmul_precision=None) -> jax.Array:
     """Full symmetric G = A^T A, computed as upper tiles only (~half the
     MXU flops of a plain dot for n >> t).
 
-    t/mc override the output-tile side and row-chunk length (the 512/512
-    defaults win the on-chip sweep for both the tall-skinny Gram and the
-    square Schur-update regimes — see the module-constant comment).
+    t/mc override the output-tile side and row-chunk length. On-chip sweep
+    defaults: 512/512 for f32 (anything bigger overflows VMEM with the
+    hi/lo 3-pass splits live); 512/1024 for bf16, whose 1-pass steps are
+    so short (~1.4 us) that the per-step grid overhead dominates at
+    mc=512 — the longer chunk amortizes it (83.5 vs 101 ms on the
+    2^19 x 4096 Gram).
     matmul_precision overrides the f32 MXU pass count (None honors the
     active `jax.default_matmul_precision`, defaulting to 6-pass HIGHEST —
     the same policy as every XLA dot in the framework, ops/precision.py)."""
@@ -91,10 +94,21 @@ def syrk_upper(a: jax.Array, out_dtype=jnp.float32,
 
         matmul_precision = prec()
     m, n = a.shape
+    if t is None:
+        t = _T
+    if mc is None:
+        # bf16 prefers the longer chunk, but only when it divides m —
+        # otherwise the ragged fallback below would silently replace the
+        # kernel with a full dot (measured as a 1.9x cholinv regression
+        # when every sub-2048 recursion block went ragged)
+        mc = 1024 if (a.dtype == jnp.bfloat16 and m % 1024 == 0) else _MC
     if n % t or m % mc:
-        # ragged shapes: plain dot (still correct, no triangle saving)
+        # ragged shapes: plain dot (still correct, no triangle saving);
+        # bf16 keeps its native 1-pass semantics
+        fb_prec = (lax.Precision.DEFAULT if a.dtype == jnp.bfloat16
+                   else matmul_precision)
         return jnp.dot(a.T, a, preferred_element_type=jnp.float32,
-                       precision=matmul_precision).astype(out_dtype)
+                       precision=fb_prec).astype(out_dtype)
     nt = n // t
     pairs = [(i, j) for i in range(nt) for j in range(nt) if i <= j]
     ti = jnp.asarray(np.array([p[0] for p in pairs], np.int32))

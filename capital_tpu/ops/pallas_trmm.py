@@ -106,12 +106,15 @@ def _pairs(nt: int, lower_k: bool):
 
 def trmm_upper(u: jax.Array, b: jax.Array, *, side: str = "L",
                trans_a: bool = False, interpret: bool = False,
-               t: int = _T, mc: int = _MC,
+               t: int | None = None, mc: int | None = None,
                matmul_precision=None) -> jax.Array:
     """Triangle-aware multiply by upper-triangular U (see module doc).
     Shapes: side='L': U (n,n), B (n,m) -> (n,m); side='R': B (m,n), U (n,n)
     -> (m,n). Falls back to a masked dot for tile-ragged shapes.
     t / mc override the triangular / rectangular tile sides (autotuning).
+    On-chip sweep defaults: 512/512 f32; 512/2048 bf16, whose ~1.4 us
+    1-pass steps are dominated by per-step grid overhead at mc=512 (the
+    2^19 x 4096 side='R' formQ shape runs 84.2 vs 100.8 ms).
     matmul_precision overrides the f32 MXU pass count (None honors the
     active `jax.default_matmul_precision`, defaulting to 6-pass HIGHEST —
     the same policy as every XLA dot in the framework, ops/precision.py)."""
@@ -121,6 +124,19 @@ def trmm_upper(u: jax.Array, b: jax.Array, *, side: str = "L",
         from capital_tpu.ops.precision import prec
 
         matmul_precision = prec()
+    if t is None:
+        t = _T
+    if mc is None:
+        # bf16 prefers the longer chunk, but only when it divides the
+        # rectangular extent — a non-dividing mc would push the call onto
+        # the ragged full-dot fallback (see syrk_upper)
+        ext = b.shape[1] if side == "L" else b.shape[0]
+        mc = _MC
+        if b.dtype == jnp.bfloat16:
+            for cand in (2048, 1024):
+                if ext % cand == 0:
+                    mc = cand
+                    break
     return _trmm_upper_impl(u, b, side=side, trans_a=trans_a,
                             interpret=interpret, prec_=matmul_precision,
                             _T=t, _MC=mc)
@@ -135,15 +151,17 @@ def _trmm_upper_impl(u, b, *, side, trans_a, interpret, prec_, _T, _MC):
         m = b.shape[0]
         ragged = n % _T or m % _MC
     if ragged:
+        # bf16 keeps its native 1-pass semantics in the fallback too
+        fbp = (lax.Precision.DEFAULT if b.dtype == jnp.bfloat16 else prec_)
         t = jnp.triu(u)
         if trans_a:
             return lax.dot_general(
                 t, b, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=prec_).astype(b.dtype)
+                precision=fbp).astype(b.dtype)
         lhs, rhs = (t, b) if side == "L" else (b, t)
         return jnp.dot(lhs, rhs, preferred_element_type=jnp.float32,
-                       precision=prec_).astype(b.dtype)
+                       precision=fbp).astype(b.dtype)
 
     nt = n // _T
     if side == "L" and not trans_a:

@@ -38,11 +38,24 @@ def acc_dtype(*xs):
     return jnp.float32
 
 
+def _resolve(a, b, precision):
+    """bf16 x bf16 always runs DEFAULT: the MXU multiplies bf16 natively
+    and accumulates in f32, so every product is EXACT — extra passes can
+    only re-derive the same answer 6x slower (XLA upcasts and multi-passes
+    bf16 operands under HIGHEST; measured as a 2.3x cholinv slowdown when
+    bf16 fallback dots inherited the framework's HIGHEST default)."""
+    if precision is not None:
+        return precision
+    if a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16:
+        return lax.Precision.DEFAULT
+    return prec()
+
+
 def dot(a, b, preferred_element_type=None, precision=None):
     return jnp.dot(
         a, b,
         preferred_element_type=preferred_element_type or acc_dtype(a, b),
-        precision=precision if precision is not None else prec(),
+        precision=_resolve(a, b, precision),
     )
 
 
@@ -51,5 +64,5 @@ def dot_general(a, b, dimension_numbers, preferred_element_type=None,
     return lax.dot_general(
         a, b, dimension_numbers,
         preferred_element_type=preferred_element_type or acc_dtype(a, b),
-        precision=precision if precision is not None else prec(),
+        precision=_resolve(a, b, precision),
     )
