@@ -255,24 +255,29 @@ def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
 
     w, ri = rec(grid, (w, ri), off, n1, bc, cfg, False)
 
-    r11inv = jax.lax.slice(ri, (off, off), (mid, mid))
-    a12 = jax.lax.slice(w, (off, mid), (mid, end))
+    # Sub-blocks are addressed as WINDOWS of the full workspace buffers:
+    # the triangle kernels fold the (static) offsets into their BlockSpec
+    # index maps, so no lax.slice copy is ever materialized for an operand
+    # (each one is a real 1-3 ms HBM copy at n=32768 — the reference's
+    # `_restrict_` pointer-offset views, matrix.hpp:171-180, recovered on
+    # TPU). Distributed grids slice inside summa (the serialize step).
+    kw = dict(impl=cfg.summa_impl, num_chunks=cfg.summa_chunks,
+              throttle=cfg.summa_throttle)
 
     # TRSM step: R12 = R11^{-T} A12, written over A12 in the workspace
     # (ref: cholinv.hpp:116-123 — transpose of R11inv + summa TRMM).
     with tracing.phase("CI::trsm"):
-        r12 = summa.trmm(grid, r11inv, a12, side="L", uplo="U", trans_a=True,
-                         impl=cfg.summa_impl, num_chunks=cfg.summa_chunks,
-                         throttle=cfg.summa_throttle)
+        r12 = summa.trmm(grid, ri, w, side="L", uplo="U", trans_a=True,
+                         a_window=(off, off, n1, n1),
+                         b_window=(off, mid, n1, n2), **kw)
     w = jax.lax.dynamic_update_slice(w, r12, (off, mid))
 
     # Schur update: A22 <- A22 - R12^T R12 in the workspace
     # (ref: cholinv.hpp:131-134).
     with tracing.phase("CI::tmu"):
         a22 = jax.lax.slice(w, (mid, mid), (end, end))
-        s = summa.syrk(grid, r12, c=a22, alpha=-1.0, beta=1.0,
-                       impl=cfg.summa_impl, num_chunks=cfg.summa_chunks,
-                       throttle=cfg.summa_throttle)
+        s = summa.syrk(grid, w, c=a22, alpha=-1.0, beta=1.0,
+                       a_window=(off, mid, n1, n2), **kw)
     del r12  # re-read from W below; keeping it live would double the band
     w = jax.lax.dynamic_update_slice(w, s, (mid, mid))
 
@@ -281,15 +286,12 @@ def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
     if cfg.complete_inv or not top:
         # R12inv = -R11inv @ R12 @ R22inv (ref: cholinv.hpp:147-156).
         with tracing.phase("CI::inv"):
-            r22inv = jax.lax.slice(ri, (mid, mid), (end, end))
-            r12w = jax.lax.slice(w, (off, mid), (mid, end))  # R12, from W
-            t = summa.trmm(grid, r22inv, r12w, side="R", uplo="U",
-                           impl=cfg.summa_impl, num_chunks=cfg.summa_chunks,
-                           throttle=cfg.summa_throttle)
-            r12inv = summa.trmm(grid, r11inv, t, side="L", uplo="U",
-                                alpha=-1.0, impl=cfg.summa_impl,
-                                num_chunks=cfg.summa_chunks,
-                                throttle=cfg.summa_throttle)
+            t = summa.trmm(grid, ri, w, side="R", uplo="U",
+                           a_window=(mid, mid, n2, n2),
+                           b_window=(off, mid, n1, n2), **kw)
+            r12inv = summa.trmm(grid, ri, t, side="L", uplo="U",
+                                alpha=-1.0, a_window=(off, off, n1, n1),
+                                **kw)
         ri = jax.lax.dynamic_update_slice(ri, r12inv, (off, mid))
     return w, ri
 

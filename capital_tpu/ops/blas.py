@@ -42,8 +42,15 @@ def gemm(a, b, *, c=None, alpha=1.0, beta=0.0, trans_a=False, trans_b=False):
     return out
 
 
+def _slice_window(x, window):
+    if window is None:
+        return x
+    r0, c0, h, w = window
+    return jax.lax.slice(x, (r0, c0), (r0 + h, c0 + w))
+
+
 def trmm(a, b, *, side="L", uplo="U", trans_a=False, diag="N", alpha=1.0,
-         method="auto", platform=None):
+         method="auto", platform=None, a_window=None, b_window=None):
     """B = alpha * op(tri(A)) B (side=L) or alpha * B op(tri(A)) (side=R)
     (ref: ArgPack_trmm, engine.h:91-111).
 
@@ -58,7 +65,13 @@ def trmm(a, b, *, side="L", uplo="U", trans_a=False, diag="N", alpha=1.0,
     boundary there costs +11% on the 2^22 x 1024 bf16 QR. Everywhere else
     tri wins; notably, demoting the SMALL square bf16 blocks of cholinv's
     recursion to dots measured 2.3x WORSE end-to-end (the lone fusions
-    broke XLA's whole-workspace in-place aliasing), so no block-size gate."""
+    broke XLA's whole-workspace in-place aliasing), so no block-size gate.
+
+    a_window/b_window=(r0, c0, h, w): operate on windows of larger arrays
+    — the tri path folds offsets into the kernel's index maps (zero-copy);
+    other paths slice explicitly."""
+    a_n = a_window[2] if a_window is not None else a.shape[0]
+    b_rows = b_window[2] if b_window is not None else b.shape[0]
     if method == "auto":
         import os
 
@@ -66,8 +79,7 @@ def trmm(a, b, *, side="L", uplo="U", trans_a=False, diag="N", alpha=1.0,
 
         on_tpu = platform in ("tpu", "axon") if platform else _on_tpu(b)
         formq_like = (a.dtype == jnp.bfloat16 and side == "R"
-                      and a.shape[0] < 2048
-                      and b.shape[0] > 4 * a.shape[0])
+                      and a_n < 2048 and b_rows > 4 * a_n)
         method = os.environ.get("CAPITAL_TRMM_METHOD") or (
             "tri" if on_tpu and not formq_like else "dot")
     if (method == "tri" and uplo == "U" and diag == "N"
@@ -75,8 +87,12 @@ def trmm(a, b, *, side="L", uplo="U", trans_a=False, diag="N", alpha=1.0,
             and a.dtype in (jnp.float32, jnp.bfloat16)):
         from capital_tpu.ops.pallas_trmm import trmm_upper
 
-        out = trmm_upper(a, b, side=side, trans_a=trans_a)
+        uw = (a_window[0], a_window[1], a_window[2]) if a_window else None
+        out = trmm_upper(a, b, side=side, trans_a=trans_a,
+                         u_window=uw, b_window=b_window)
         return alpha * out if alpha != 1.0 else out
+    a = _slice_window(a, a_window)
+    b = _slice_window(b, b_window)
     t = jnp.triu(a) if uplo == "U" else jnp.tril(a)
     if diag == "U":
         n = a.shape[0]
@@ -90,7 +106,7 @@ def trmm(a, b, *, side="L", uplo="U", trans_a=False, diag="N", alpha=1.0,
 
 
 def syrk(a, *, c=None, uplo="U", trans="T", alpha=1.0, beta=0.0,
-         method="auto", platform=None):
+         method="auto", platform=None, a_window=None):
     """C = alpha * A^T A + beta * C (trans='T') or alpha * A A^T + beta * C
     (ref: ArgPack_syrk, engine.h:113-130). Returns the full symmetric result;
     `uplo` only matters to callers that mask afterwards.
@@ -100,7 +116,11 @@ def syrk(a, *, c=None, uplo="U", trans="T", alpha=1.0, beta=0.0,
     from MKL, interface.hpp:77-97); 'auto' picks it on TPU: always for
     f32, and for bf16 when n >= 2048 (measured on-chip: 29% over XLA's
     dot at n=4096; a wash at n=1024, where XLA's 1-pass gemm is already
-    at 92% of peak and the kernel's short steps pay grid overhead)."""
+    at 92% of peak and the kernel's short steps pay grid overhead).
+
+    a_window=(r0, c0, h, w): Gram of a window of a larger array — the tri
+    path folds the offsets into the kernel index maps (zero-copy)."""
+    a_cols = a_window[3] if a_window is not None else a.shape[-1]
     if method == "auto":
         import os
 
@@ -108,15 +128,16 @@ def syrk(a, *, c=None, uplo="U", trans="T", alpha=1.0, beta=0.0,
 
         on_tpu = platform in ("tpu", "axon") if platform else _on_tpu(a)
         dtype_ok = a.dtype == jnp.float32 or (
-            a.dtype == jnp.bfloat16 and a.shape[-1] >= 2048)
+            a.dtype == jnp.bfloat16 and a_cols >= 2048)
         method = os.environ.get("CAPITAL_SYRK_METHOD") or (
             "tri" if on_tpu and dtype_ok else "dot")
     if (method == "tri" and trans == "T"
             and a.dtype in (jnp.float32, jnp.bfloat16)):
         from capital_tpu.ops.pallas_syrk import syrk_upper
 
-        out = syrk_upper(a, out_dtype=a.dtype)
+        out = syrk_upper(a, out_dtype=a.dtype, a_window=a_window)
     else:
+        a = _slice_window(a, a_window)
         out = _dot(a.T, a) if trans == "T" else _dot(a, a.T)
     if alpha != 1.0:
         out = alpha * out

@@ -76,7 +76,8 @@ def _kernel(prec_, ti_ref, tj_ref, ai_ref, aj_ref, g_ref, gt_ref, acc, acc2):
 
 def syrk_upper(a: jax.Array, out_dtype=jnp.float32,
                interpret: bool = False, t: int | None = None,
-               mc: int | None = None, matmul_precision=None) -> jax.Array:
+               mc: int | None = None, matmul_precision=None,
+               a_window=None) -> jax.Array:
     """Full symmetric G = A^T A, computed as upper tiles only (~half the
     MXU flops of a plain dot for n >> t).
 
@@ -88,27 +89,39 @@ def syrk_upper(a: jax.Array, out_dtype=jnp.float32,
     2^19 x 4096 Gram).
     matmul_precision overrides the f32 MXU pass count (None honors the
     active `jax.default_matmul_precision`, defaulting to 6-pass HIGHEST —
-    the same policy as every XLA dot in the framework, ops/precision.py)."""
+    the same policy as every XLA dot in the framework, ops/precision.py).
+
+    a_window=(r0, c0, h, w): Gram of a rectangular WINDOW of a larger
+    array without materializing the slice — the offsets fold into the
+    BlockSpec index maps (see trmm_upper's u_window/b_window note)."""
     if matmul_precision is None:
         from capital_tpu.ops.precision import prec
 
         matmul_precision = prec()
-    m, n = a.shape
+    if a_window is not None:
+        ar0, ac0, m, n = a_window
+    else:
+        ar0, ac0, (m, n) = 0, 0, a.shape
     if t is None:
         t = _T
     if mc is None:
-        # bf16 prefers the longer chunk, but only when it divides m —
-        # otherwise the ragged fallback below would silently replace the
-        # kernel with a full dot (measured as a 1.9x cholinv regression
-        # when every sub-2048 recursion block went ragged)
-        mc = 1024 if (a.dtype == jnp.bfloat16 and m % 1024 == 0) else _MC
-    if n % t or m % mc:
+        # bf16 prefers the longer chunk, but only when it divides m and
+        # the window row offset — otherwise the ragged fallback below
+        # would silently replace the kernel with a full dot (measured as
+        # a 1.9x cholinv regression when every sub-2048 recursion block
+        # went ragged)
+        mc = 1024 if (a.dtype == jnp.bfloat16 and m % 1024 == 0
+                      and ar0 % 1024 == 0) else _MC
+    if n % t or m % mc or ar0 % mc or ac0 % t:
+        if a_window is not None:
+            a = lax.slice(a, (ar0, ac0), (ar0 + m, ac0 + n))
         # ragged shapes: plain dot (still correct, no triangle saving);
         # bf16 keeps its native 1-pass semantics
         fb_prec = (lax.Precision.DEFAULT if a.dtype == jnp.bfloat16
                    else matmul_precision)
         return jnp.dot(a.T, a, preferred_element_type=jnp.float32,
                        precision=fb_prec).astype(out_dtype)
+    abr, abc = ar0 // mc, ac0 // t  # static window block offsets
     nt = n // t
     pairs = [(i, j) for i in range(nt) for j in range(nt) if i <= j]
     ti = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
@@ -119,9 +132,9 @@ def syrk_upper(a: jax.Array, out_dtype=jnp.float32,
         num_scalar_prefetch=2,  # ti, tj lookup tables
         grid=(len(pairs), nc),
         in_specs=[
-            pl.BlockSpec((mc, t), lambda p, c, ti, tj: (c, ti[p]),
+            pl.BlockSpec((mc, t), lambda p, c, ti, tj: (abr + c, abc + ti[p]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mc, t), lambda p, c, ti, tj: (c, tj[p]),
+            pl.BlockSpec((mc, t), lambda p, c, ti, tj: (abr + c, abc + tj[p]),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

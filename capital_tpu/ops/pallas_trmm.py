@@ -107,7 +107,8 @@ def _pairs(nt: int, lower_k: bool):
 def trmm_upper(u: jax.Array, b: jax.Array, *, side: str = "L",
                trans_a: bool = False, interpret: bool = False,
                t: int | None = None, mc: int | None = None,
-               matmul_precision=None) -> jax.Array:
+               matmul_precision=None, u_window=None,
+               b_window=None) -> jax.Array:
     """Triangle-aware multiply by upper-triangular U (see module doc).
     Shapes: side='L': U (n,n), B (n,m) -> (n,m); side='R': B (m,n), U (n,n)
     -> (m,n). Falls back to a masked dot for tile-ragged shapes.
@@ -117,7 +118,16 @@ def trmm_upper(u: jax.Array, b: jax.Array, *, side: str = "L",
     2^19 x 4096 side='R' formQ shape runs 84.2 vs 100.8 ms).
     matmul_precision overrides the f32 MXU pass count (None honors the
     active `jax.default_matmul_precision`, defaulting to 6-pass HIGHEST —
-    the same policy as every XLA dot in the framework, ops/precision.py)."""
+    the same policy as every XLA dot in the framework, ops/precision.py).
+
+    u_window=(r0, c0, n) / b_window=(r0, c0, h, w): operate on a square /
+    rectangular WINDOW of a larger array without materializing the slice —
+    the offsets fold into the BlockSpec index maps, so only the window's
+    blocks are ever fetched from HBM. This is how cholinv's recursion runs
+    its trmms directly against the full workspace buffers (each lax.slice
+    a pallas operand needs is otherwise a real copy — ~20 ms of the
+    n=32768 profile). Offsets must be tile-aligned; misaligned windows
+    fall back to an explicit slice."""
     if side == "R" and trans_a:
         raise NotImplementedError("side='R' with trans_a")
     if matmul_precision is None:
@@ -128,29 +138,51 @@ def trmm_upper(u: jax.Array, b: jax.Array, *, side: str = "L",
         t = _T
     if mc is None:
         # bf16 prefers the longer chunk, but only when it divides the
-        # rectangular extent — a non-dividing mc would push the call onto
-        # the ragged full-dot fallback (see syrk_upper)
-        ext = b.shape[1] if side == "L" else b.shape[0]
+        # rectangular extent AND the window offset along the chunked axis —
+        # a non-dividing mc would push the call onto the ragged full-dot
+        # fallback (see syrk_upper)
+        if b_window is not None:
+            ext = b_window[3] if side == "L" else b_window[2]
+            off = b_window[1] if side == "L" else b_window[0]
+        else:
+            ext = b.shape[1] if side == "L" else b.shape[0]
+            off = 0
         mc = _MC
         if b.dtype == jnp.bfloat16:
             for cand in (2048, 1024):
-                if ext % cand == 0:
+                if ext % cand == 0 and off % cand == 0:
                     mc = cand
                     break
     return _trmm_upper_impl(u, b, side=side, trans_a=trans_a,
                             interpret=interpret, prec_=matmul_precision,
-                            _T=t, _MC=mc)
+                            _T=t, _MC=mc, u_window=u_window,
+                            b_window=b_window)
 
 
-def _trmm_upper_impl(u, b, *, side, trans_a, interpret, prec_, _T, _MC):
-    n = u.shape[0]
-    if side == "L":
-        m = b.shape[1]
-        ragged = n % _T or m % _MC
+def _materialize(x, window):
+    if window is None:
+        return x
+    r0, c0, h, w = window
+    return lax.slice(x, (r0, c0), (r0 + h, c0 + w))
+
+
+def _trmm_upper_impl(u, b, *, side, trans_a, interpret, prec_, _T, _MC,
+                     u_window=None, b_window=None):
+    # window geometry (offsets in elements, folded into index maps below)
+    ur0, uc0, n = u_window if u_window is not None else (0, 0, u.shape[0])
+    if b_window is not None:
+        br0, bc0, bh, bw = b_window
     else:
-        m = b.shape[0]
-        ragged = n % _T or m % _MC
+        br0, bc0, (bh, bw) = 0, 0, b.shape
+    m = bw if side == "L" else bh
+    # b's blocking: side='L' rows are T-tiles / cols are MC-chunks;
+    # side='R' rows are MC-chunks / cols are T-tiles
+    b_rblk, b_cblk = (_T, _MC) if side == "L" else (_MC, _T)
+    ragged = (n % _T or m % _MC
+              or ur0 % _T or uc0 % _T or br0 % b_rblk or bc0 % b_cblk)
     if ragged:
+        u = _materialize(u, (ur0, uc0, n, n) if u_window else None)
+        b = _materialize(b, b_window)
         # bf16 keeps its native 1-pass semantics in the fallback too
         fbp = (lax.Precision.DEFAULT if b.dtype == jnp.bfloat16 else prec_)
         t = jnp.triu(u)
@@ -163,15 +195,21 @@ def _trmm_upper_impl(u, b, *, side, trans_a, interpret, prec_, _T, _MC):
         return jnp.dot(lhs, rhs, preferred_element_type=jnp.float32,
                        precision=fbp).astype(b.dtype)
 
+    # static block offsets of the windows
+    ubr, ubc = ur0 // _T, uc0 // _T
+    bbr, bbc = br0 // b_rblk, bc0 // b_cblk
+
     nt = n // _T
     if side == "L" and not trans_a:
         # C[i,j] = sum_{k>=i} U[i,k] B[k,j]; o-runs end at k == nt-1
         to, tk, first, npairs = _pairs(nt, lower_k=False)
         grid = (m // _MC, npairs)
-        u_spec = pl.BlockSpec((_T, _T), lambda j, p, to, tk, f: (to[p], tk[p]),
-                              memory_space=pltpu.VMEM)
-        b_spec = pl.BlockSpec((_T, _MC), lambda j, p, to, tk, f: (tk[p], j),
-                              memory_space=pltpu.VMEM)
+        u_spec = pl.BlockSpec(
+            (_T, _T), lambda j, p, to, tk, f: (ubr + to[p], ubc + tk[p]),
+            memory_space=pltpu.VMEM)
+        b_spec = pl.BlockSpec(
+            (_T, _MC), lambda j, p, to, tk, f: (bbr + tk[p], bbc + j),
+            memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((_T, _MC), lambda j, p, to, tk, f: (to[p], j),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((n, m), b.dtype)
@@ -183,10 +221,12 @@ def _trmm_upper_impl(u, b, *, side, trans_a, interpret, prec_, _T, _MC):
         # C[i,j] = sum_{k<=i} U[k,i]^T B[k,j]; o-runs end at k == o
         to, tk, first, npairs = _pairs(nt, lower_k=True)
         grid = (m // _MC, npairs)
-        u_spec = pl.BlockSpec((_T, _T), lambda j, p, to, tk, f: (tk[p], to[p]),
-                              memory_space=pltpu.VMEM)
-        b_spec = pl.BlockSpec((_T, _MC), lambda j, p, to, tk, f: (tk[p], j),
-                              memory_space=pltpu.VMEM)
+        u_spec = pl.BlockSpec(
+            (_T, _T), lambda j, p, to, tk, f: (ubr + tk[p], ubc + to[p]),
+            memory_space=pltpu.VMEM)
+        b_spec = pl.BlockSpec(
+            (_T, _MC), lambda j, p, to, tk, f: (bbr + tk[p], bbc + j),
+            memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((_T, _MC), lambda j, p, to, tk, f: (to[p], j),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((n, m), b.dtype)
@@ -198,10 +238,12 @@ def _trmm_upper_impl(u, b, *, side, trans_a, interpret, prec_, _T, _MC):
         # side='R': C[i,j] = sum_{k<=j} B[i,k] U[k,j]; o enumerates j
         to, tk, first, npairs = _pairs(nt, lower_k=True)
         grid = (m // _MC, npairs)
-        u_spec = pl.BlockSpec((_MC, _T), lambda i, p, to, tk, f: (i, tk[p]),
-                              memory_space=pltpu.VMEM)  # B row panel
-        b_spec = pl.BlockSpec((_T, _T), lambda i, p, to, tk, f: (tk[p], to[p]),
-                              memory_space=pltpu.VMEM)  # U tile
+        u_spec = pl.BlockSpec(
+            (_MC, _T), lambda i, p, to, tk, f: (bbr + i, bbc + tk[p]),
+            memory_space=pltpu.VMEM)  # B row panel (b_window offsets)
+        b_spec = pl.BlockSpec(
+            (_T, _T), lambda i, p, to, tk, f: (ubr + tk[p], ubc + to[p]),
+            memory_space=pltpu.VMEM)  # U tile (u_window offsets)
         out_spec = pl.BlockSpec((_MC, _T), lambda i, p, to, tk, f: (i, to[p]),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((m, n), b.dtype)

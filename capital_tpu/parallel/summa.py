@@ -53,6 +53,28 @@ from capital_tpu import tracing
 from capital_tpu.ops.precision import dot as _pdot
 
 
+def _slice_window(x, window):
+    """Materialize a (r0, c0, h, w) window as a real slice (the distributed
+    paths need actual arrays; the single-device kernels fold the offsets
+    into their index maps instead — blas.trmm/syrk a_window/b_window)."""
+    if window is None:
+        return x
+    r0, c0, h, w = window
+    import jax.lax as _lax
+
+    return _lax.slice(x, (r0, c0), (r0 + h, c0 + w))
+
+
+def _win_shape(x, window):
+    """Shape carrier for cost recording: the windowed extent, not the
+    backing array's."""
+    if window is None:
+        return x
+    import jax as _jax
+
+    return _jax.ShapeDtypeStruct((window[2], window[3]), x.dtype)
+
+
 def _record_gemm_cost(grid: Grid, a, b):
     """Analytic per-device cost of one 2.5D gemm (tracing.py, critter analog):
     2mnk/(d^2 c) MXU flops; two all_gathers of the K panels + one psum over
@@ -262,7 +284,8 @@ def transpose(grid: Grid, a, impl="shard_map"):
 
 
 def trmm(grid: Grid, a, b, *, side="L", uplo="U", trans_a=False, alpha=1.0,
-         impl="shard_map", num_chunks: int = 1, throttle: bool = False):
+         impl="shard_map", num_chunks: int = 1, throttle: bool = False,
+         a_window=None, b_window=None):
     """Distributed triangular multiply (ref: summa.hpp:46-83). Triangular
     structure is a global mask fused into the operand (see matrix.py); the
     multiply itself is the gemm engine.
@@ -274,14 +297,23 @@ def trmm(grid: Grid, a, b, *, side="L", uplo="U", trans_a=False, alpha=1.0,
 
     On a single-device grid the call is one local trmm: route to the
     triangle-aware kernel layer (half the MXU flops on TPU — the dtrmm
-    saving of the reference's MKL local kernels, interface.hpp:54-75)."""
+    saving of the reference's MKL local kernels, interface.hpp:54-75).
+
+    a_window/b_window=(r0, c0, h, w): operate on windows of larger arrays.
+    The single-device tri path folds offsets into kernel index maps
+    (zero-copy — how cholinv reads its workspace); distributed paths
+    slice explicitly (the slice is the reference's serialize step)."""
     if grid.num_devices == 1:
         from capital_tpu.ops import blas
 
-        _record_gemm_cost(grid, a, b) if side == "L" else \
-            _record_gemm_cost(grid, b, a)
+        aw, bw = _win_shape(a, a_window), _win_shape(b, b_window)
+        _record_gemm_cost(grid, aw, bw) if side == "L" else \
+            _record_gemm_cost(grid, bw, aw)
         return blas.trmm(a, b, side=side, uplo=uplo, trans_a=trans_a,
-                         alpha=alpha, platform=grid.platform)
+                         alpha=alpha, platform=grid.platform,
+                         a_window=a_window, b_window=b_window)
+    a = _slice_window(a, a_window)
+    b = _slice_window(b, b_window)
     t = apply_structure(a, Structure.UPPERTRI if uplo == "U" else Structure.LOWERTRI)
     if trans_a and impl == "gspmd" and side == "L":
         _record_gemm_cost(grid, t, b)
@@ -316,7 +348,7 @@ def _syrk_gspmd(grid: Grid, a, b, c, alpha, beta):
 
 
 def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
-         num_chunks: int = 1, throttle: bool = False):
+         num_chunks: int = 1, throttle: bool = False, a_window=None):
     """C = alpha * A^T A + beta * C, distributed (ref: summa.hpp:85-161).
 
     shard_map impl: grid-transpose + gemm — the reference does exactly this
@@ -332,9 +364,11 @@ def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
     if grid.num_devices == 1:
         from capital_tpu.ops import blas
 
-        _record_gemm_cost(grid, a, a)
+        aw = _win_shape(a, a_window)
+        _record_gemm_cost(grid, aw, aw)
         return blas.syrk(a, c=c, alpha=alpha, beta=beta,
-                         platform=grid.platform)
+                         platform=grid.platform, a_window=a_window)
+    a = _slice_window(a, a_window)
     if impl == "gspmd":
         return _syrk_gspmd(grid, a, a, c, alpha, beta)
     at = transpose(grid, a, impl=impl)
