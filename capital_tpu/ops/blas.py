@@ -69,7 +69,10 @@ def trmm(a, b, *, side="L", uplo="U", trans_a=False, diag="N", alpha=1.0,
 
     a_window/b_window=(r0, c0, h, w): operate on windows of larger arrays
     — the tri path folds offsets into the kernel's index maps (zero-copy);
-    other paths slice explicitly."""
+    other paths slice explicitly. a_window must be square (A is the
+    triangular operand)."""
+    if a_window is not None and a_window[2] != a_window[3]:
+        raise ValueError(f"triangular a_window must be square: {a_window}")
     a_n = a_window[2] if a_window is not None else a.shape[0]
     b_rows = b_window[2] if b_window is not None else b.shape[0]
     if method == "auto":
