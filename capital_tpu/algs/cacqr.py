@@ -509,10 +509,16 @@ def construct_r(r, shape=None):
 
 
 def apply_q(grid: Grid, q, x, *, trans: bool = False, cfg: Config = Config(),
-            layout: str = "auto"):
+            layout: str = "auto", out_dtype=None):
     """Y = Q X (ref: apply_Q summa-GEMM, cacqr.hpp:272-280). apply_QT — which
     the reference left as assert(0) "not implemented" (cacqr.hpp:284) — is
-    completed here via the distributed transpose."""
+    completed here via the distributed transpose.
+
+    out_dtype (1d trans path): dtype the reduced projection is psummed and
+    returned in. Default q.dtype; pass f32 with bf16-stored operands to
+    keep the skinny (n x k) projection at full accumulation precision —
+    the mixed-precision shape rsvd depends on (only the wide m-row
+    operands pay bf16 quantization)."""
     impl = cfg.chol.summa_impl
     if layout == "auto":
         from capital_tpu.validate import _is_row_sharded
@@ -521,9 +527,10 @@ def apply_q(grid: Grid, q, x, *, trans: bool = False, cfg: Config = Config(),
         # row-sharded Q: local gemm; Q^T X needs a psum over rows.
         if not trans:
             return blas.gemm(q, x)
+        od = out_dtype or q.dtype
         def kern(q_blk, x_blk):
             part = _pdot(q_blk.T, x_blk)
-            return lax.psum(part.astype(q_blk.dtype), ALL_AXES)
+            return lax.psum(part.astype(od), ALL_AXES)
         f = jax.shard_map(kern, mesh=grid.mesh,
                           in_specs=(P(ALL_AXES, None), P(ALL_AXES, None)),
                           out_specs=P(None, None))

@@ -58,3 +58,9 @@ def grid_rect(cpus):
 @pytest.fixture(scope="session")
 def grid1(cpus):
     return Grid.square(c=1, d=1, devices=cpus[:1])
+
+
+@pytest.fixture(scope="session")
+def grid1d8(cpus):
+    """1D layout: all 8 devices as one long row axis (c=1, d-major)."""
+    return Grid.rect(c=1, devices=cpus[:8])
