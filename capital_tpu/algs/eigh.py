@@ -1,0 +1,329 @@
+"""Symmetric eigensolver: spectral divide-and-conquer on QDWH polar.
+
+The reference's capability frontier is factorizations (Cholesky, QR); the
+canonical next rung in the communication-avoiding literature — built from
+EXACTLY the kernels this framework already has — is the QDWH-based spectral
+divide-and-conquer eigensolver (Nakatsukasa & Higham, SIAM J. Sci. Comput.
+35(3), 2013): every step is Gram + cholinv + triangular multiplies, so the
+whole eigensolver rides the summa engine, the Pallas triangle kernels and
+the distributed cholinv schedule (ref: the same substrate as cacqr.hpp +
+cholinv.hpp), distributed over the same meshes.
+
+Algorithm (QDWH-eig):
+  1. pick a shift sigma inside the spectrum (median of the diagonal,
+     bisection-safeguarded on the Gershgorin interval);
+  2. U = polar factor of A - sigma I. For symmetric argument U = sign(A -
+     sigma I): a symmetric involution whose +1/-1 eigenspaces are the
+     invariant subspaces above/below sigma (tests/test_polar.py asserts the
+     involution property);
+  3. P = (I + U)/2 is the spectral projector onto eigenvalues > sigma;
+     k = round(trace(P)) = (n + trace(U))/2 eigenvalues lie above sigma;
+  4. split: draw Gaussian G, orthonormalize Y = [P G_1 | (I-P) G_2]
+     (k and n-k columns — the two ranges are exact orthogonal
+     complements, so Y is well-conditioned) by CholeskyQR2 → orthogonal
+     V = [V1 V2]; rotate B = V^T A V, which is block-diagonal up to the
+     polar backward error;
+  5. recurse on B_11 (k x k) and B_22, gluing eigenvectors back through V;
+  6. base case: blocks <= cfg.base_n are gathered replicated and handed to
+     the local dense eigensolver on every device — the ReplicateCommComp
+     placement (ref: cholinv base-case policy.h:160-224).
+
+Shapes are data-dependent (k comes from the spectrum), so the recursion is
+host-orchestrated: each level runs two jit-compiled stages with k as a
+static shape — stage 1 (polar + trace) and stage 2 (split + rotate). This
+mirrors how the reference drives its recursion from the host rank program
+(cholinv.hpp:87-165); per-level compiles are amortized by the n^3 polar
+work, and repeated solves at the same (n, k) hit jax's jit cache.
+
+Eigenvalues return ascending (numpy.linalg.eigh convention); backward
+error is O(eps ||A||) in the working dtype — f32 residuals land at the
+1e-6||A|| class, f64 at 1e-14 (tests/test_eigh.py, both oracle-checked).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from capital_tpu import tracing
+from capital_tpu.grid import Grid
+from capital_tpu.matrix import DistMatrix
+from capital_tpu.algs import cholinv as _cholinv
+from capital_tpu.algs import polar as _polar
+from capital_tpu.parallel import summa
+
+
+@dataclass(frozen=True)
+class Config:
+    """Knobs of the divide-and-conquer eigensolver.
+
+    base_n:      blocks at or below this are solved replicated by the local
+                 dense eigensolver (every device redundantly — the
+                 ReplicateCommComp placement, ref: policy.h:160-224).
+    shift_tries: bisection safeguard steps when a shift lands outside the
+                 spectrum (each retry costs one polar — rare in practice).
+    cluster_rel: blocks whose Gershgorin interval is narrower than
+                 cluster_rel * ||A|| are declared converged clusters
+                 (eigenvalues = diagonal, eigenvectors = identity) instead
+                 of being split further. None -> 40 * dtype eps.
+    min_split:   reject shifts splitting off fewer than this fraction of a
+                 block (a lopsided split wastes a full polar); bisect
+                 instead.
+    polar:       nested QDWH config (the sign-function engine). Its `chol`
+                 member is the cholinv schedule used for every Z-solve.
+    seed:        base PRNG seed for the splitting Gaussians (counter-based,
+                 deterministic across meshes — same property as the
+                 reference's coordinate-seeded distributions,
+                 structure.hpp:80-85).
+    """
+
+    base_n: int = 256
+    shift_tries: int = 4
+    cluster_rel: float | None = None
+    min_split: float = 0.05
+    polar: _polar.Config = field(
+        default_factory=lambda: _polar.Config(compute_h=False))
+    seed: int = 7
+
+    def resolve_cluster_rel(self, dtype) -> float:
+        if self.cluster_rel is not None:
+            return float(self.cluster_rel)
+        return 40.0 * float(jnp.finfo(dtype).eps)
+
+
+def _spec(grid: Grid) -> P:
+    return grid.slice_spec
+
+
+# --------------------------------------------------------------------------
+# jit stages (k, n static; cached by shape across recursion levels)
+# --------------------------------------------------------------------------
+
+
+def _split_align(grid: Grid) -> int:
+    """Size multiple at which the summa shard_map/cholinv fast paths are
+    happy: MXU tiles (128) x every mesh-divisibility the engines check."""
+    out = 128
+    for m in (grid.c * grid.d1, grid.c * grid.d2):
+        out = out * m // math.gcd(out, m)
+    return out
+
+
+def _embed(grid: Grid, a, npad: int, diag: float):
+    """blkdiag(A, diag * I) of size npad — EXACTLY decoupled padding that
+    lets the aligned fast engines run on data-dependent block sizes. The
+    pad block never leaves the jit stage that created it: callers slice
+    the top-left n x n back out, so no pad eigenvalue enters the
+    recursion (and zero/identity pads don't inflate any operand norm)."""
+    n = a.shape[0]
+    if npad == n:
+        return a
+    pad_rows = jnp.concatenate(
+        [jnp.zeros((npad - n, n), a.dtype),
+         diag * jnp.eye(npad - n, dtype=a.dtype)], axis=1)
+    top = jnp.concatenate([a, jnp.zeros((n, npad - n), a.dtype)], axis=1)
+    return grid.constrain(jnp.concatenate([top, pad_rows], axis=0),
+                          _spec(grid))
+
+
+@partial(jax.jit, static_argnames=("grid", "cfg"))
+def _stage_sign(grid: Grid, a, sigma, cfg: Config):
+    """U = sign(A - sigma I) via QDWH polar; returns (U, trace(U)).
+
+    Unaligned n runs the polar on blkdiag(A - sigma I, 0): sign() of a
+    block-diagonal is block-diagonal, so the top-left slice is exact, and
+    a zero pad adds nothing to ||.||_F (QDWH's alpha) or to the Z-solves
+    (their pad diagonal is exactly 1)."""
+    n = a.shape[0]
+    shifted = grid.constrain(
+        a - sigma.astype(a.dtype) * jnp.eye(n, dtype=a.dtype), _spec(grid))
+    npad = -(-n // _split_align(grid)) * _split_align(grid)
+    u = _polar.polar(grid, _embed(grid, shifted, npad, 0.0), cfg.polar,
+                     layout="2d")
+    u = grid.constrain(u[:n, :n], _spec(grid))
+    # re-symmetrize: sign(symmetric) is symmetric; the iteration's rounding
+    # drift is cheap to scrub and keeps the projector ranges orthogonal
+    u = grid.constrain(0.5 * (u + u.T), _spec(grid))
+    return u, jnp.trace(u.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("grid", "cfg", "k"))
+def _stage_split(grid: Grid, a, u, key, cfg: Config, k: int):
+    """Given U = sign(A - sigma I) with k eigenvalues above sigma, build the
+    orthogonal [V1 V2] and rotate: returns (B11, B22, V, offdiag_norm).
+
+    The plain gemms run under the gspmd partitioner (any shape); only the
+    CQR2 orthonormalization — Gram + cholinv + trmm — wants alignment, and
+    gets it from an identity-embedded operand (CQR2 of blkdiag(Y, I) is
+    blkdiag(CQR2(Y), I) exactly)."""
+    n = a.shape[0]
+    g = jax.random.normal(key, (n, n), dtype=a.dtype)
+    g = grid.constrain(g, _spec(grid))
+    ug = summa.gemm(grid, u, g, impl="gspmd")
+    # columns of P+ G land in range(P+), of P- G in range(P-): exact
+    # orthogonal complements, so [Y1 Y2] is full-rank and CQR2-friendly
+    y = 0.5 * jnp.concatenate(
+        [(g + ug)[:, :k], (g - ug)[:, k:]], axis=1).astype(a.dtype)
+    y = grid.constrain(y, _spec(grid))
+    v = _orthonormalize_2d(grid, y, cfg.polar.chol)
+    av = summa.gemm(grid, a, v, impl="gspmd")
+    b = summa.gemm(grid, grid.constrain(v.T, _spec(grid)), av, impl="gspmd")
+    b = grid.constrain(b, _spec(grid))
+    b11 = grid.constrain(0.5 * (b[:k, :k] + b[:k, :k].T), _spec(grid))
+    b22 = grid.constrain(0.5 * (b[k:, k:] + b[k:, k:].T), _spec(grid))
+    off = jnp.linalg.norm(b[k:, :k].astype(jnp.float32))
+    return b11, b22, v, off
+
+
+def _orthonormalize_2d(grid: Grid, y, chol_cfg: _cholinv.Config):
+    """Shifted CholeskyQR3 of a slice-sharded square operand: passes of
+    Gram -> cholinv -> trmm (the cacqr sweep shape, ref: cacqr.hpp:75-120,
+    on the 2d layout). Unaligned operands are identity-embedded to the
+    engine alignment and sliced back.
+
+    The first pass shifts the Gram by O(eps ||Y||^2) I (Fukaya et al.,
+    shifted CholeskyQR3, SIAM J. Sci. Comput. 42(1), 2020): the splitting
+    operand [P+ G1 | P- G2] is a projected square Gaussian whose condition
+    number has a heavy tail, and an unshifted first Cholesky dies (NaN)
+    when cond(Y)^2 overflows the working precision. The shift keeps the
+    factor finite; two further unshifted passes restore orthogonality to
+    working accuracy."""
+    impl = chol_cfg.summa_impl
+    n = y.shape[0]
+    npad = -(-n // _split_align(grid)) * _split_align(grid)
+    q = _embed(grid, y, npad, 1.0)
+    eps = float(jnp.finfo(y.dtype).eps)
+    for p in range(3):
+        gram = summa.syrk(grid, q, impl=impl)
+        if p == 0:
+            shift = (20.0 * eps * jnp.trace(gram.astype(jnp.float32))
+                     ).astype(gram.dtype)
+            gram = gram + shift * jnp.eye(npad, dtype=gram.dtype)
+            gram = grid.constrain(gram, _spec(grid))
+        _, rinv = _cholinv.factor(grid, gram, chol_cfg)
+        q = summa.trmm(grid, rinv, q, side="R", uplo="U", impl=impl)
+    if npad != n:
+        q = q[:n, :n]
+    return grid.constrain(q, _spec(grid))
+
+
+@partial(jax.jit, static_argnames=("grid",))
+def _diag_and_bounds(grid: Grid, a):
+    """(diag, Gershgorin lo, hi) of a slice-sharded symmetric matrix."""
+    d = jnp.diagonal(a).astype(jnp.float32)
+    radii = jnp.sum(jnp.abs(a.astype(jnp.float32)), axis=1) - jnp.abs(d)
+    return d, jnp.min(d - radii), jnp.max(d + radii)
+
+
+@partial(jax.jit, static_argnames=("grid",))
+def _base_eigh(grid: Grid, a):
+    """Replicated dense base case (ReplicateCommComp placement): every
+    device redundantly eig-solves the gathered block."""
+    rep = grid.constrain(a, P(None, None))
+    w, v = jnp.linalg.eigh(rep)
+    return w, grid.constrain(v, _spec(grid))
+
+
+@partial(jax.jit, static_argnames=("grid", "k"))
+def _glue(grid: Grid, v, v1, v2, k: int):
+    """V @ blockdiag(V1, V2) without materializing the zero blocks.
+
+    gspmd impl: the child blocks have data-dependent (unaligned) sizes."""
+    left = summa.gemm(grid, v[:, :k], v1, impl="gspmd")
+    right = summa.gemm(grid, v[:, k:], v2, impl="gspmd")
+    return grid.constrain(jnp.concatenate([left, right], axis=1),
+                          _spec(grid))
+
+
+# --------------------------------------------------------------------------
+# host-orchestrated recursion
+# --------------------------------------------------------------------------
+
+
+def _solve_block(grid: Grid, a, cfg: Config, scale: float, key):
+    n = a.shape[0]
+    if n <= cfg.base_n:
+        return _base_eigh(grid, a)
+
+    d, lo, hi = _diag_and_bounds(grid, a)
+    lo_f, hi_f = float(lo), float(hi)
+    if hi_f - lo_f <= cfg.resolve_cluster_rel(a.dtype) * scale:
+        # converged cluster: the block is sigma I + O(eps ||A||); its
+        # diagonal IS the eigenvalue list to backward-error accuracy
+        return d.astype(a.dtype), grid.constrain(
+            jnp.eye(n, dtype=a.dtype), _spec(grid))
+
+    sigma = float(jnp.median(d))
+    lo_b, hi_b = lo_f, hi_f
+    for attempt in range(cfg.shift_tries + 1):
+        u, tr = _stage_sign(grid, a, jnp.float32(sigma), cfg)
+        tr_f = float(tr)
+        if not math.isfinite(tr_f):
+            # sigma landed (numerically) on an eigenvalue and the sign
+            # iteration blew up: nudge off it
+            sigma = sigma + max(0.05 * (hi_b - sigma), 1e-3 * (hi_f - lo_f))
+            continue
+        k = max(0, min(n, int(round((n + tr_f) / 2.0))))
+        if k <= 0 or k >= n or (min(k, n - k) / n < cfg.min_split
+                                and attempt < cfg.shift_tries):
+            # shift landed outside (or at the edge of) the spectrum:
+            # bisect the Gershgorin interval toward the crowded side
+            if k > n // 2:  # almost everything above sigma -> move up
+                lo_b = sigma
+            else:
+                hi_b = sigma
+            sigma = 0.5 * (lo_b + hi_b)
+            continue
+        key, k1, k2, ksplit = jax.random.split(key, 4)
+        b11, b22, v, off = _stage_split(grid, a, u, ksplit, cfg, k)
+        off_f = float(off)
+        if not math.isfinite(off_f) or off_f > 0.01 * scale:
+            # the invariant-subspace split failed (rank(P) mismatch from a
+            # sigma inside a cluster, or a rank-deficient splitting basis):
+            # retry with a moved shift
+            sigma = sigma + max(0.1 * (hi_b - sigma), 1e-3 * (hi_f - lo_f))
+            continue
+        w1, v1 = _solve_block(grid, b11, cfg, scale, k1)
+        w2, v2 = _solve_block(grid, b22, cfg, scale, k2)
+        w = jnp.concatenate([w1, w2])
+        return w, _glue(grid, v, v1, v2, k)
+    # pathological spectrum (no shift ever separated it cleanly): fall
+    # back to the replicated dense solve whatever the size
+    return _base_eigh(grid, a)
+
+
+def eigh(grid: Grid, a, cfg: Config = Config()):
+    """Full symmetric eigendecomposition A = V diag(w) V^T, distributed.
+
+    a: (n, n) symmetric, sharded on the grid slice (P('y','x')).
+    Returns (w ascending (n,), V (n, n) slice-sharded, columns matching w).
+    """
+    if isinstance(a, DistMatrix):
+        a = a.data
+    n = a.shape[0]
+    if a.shape != (n, n):
+        raise ValueError(f"eigh needs a square matrix, got {a.shape}")
+    key = jax.random.key(cfg.seed)
+    with tracing.phase("EIG::dnc"):
+        esz = jnp.dtype(a.dtype).itemsize
+        levels = max(1, math.ceil(math.log2(max(2, n / max(1, cfg.base_n)))))
+        tracing.record(
+            "eigh",
+            flops=levels * 18.0 * n**3 / grid.num_devices,
+            comm_bytes=levels * 8 * tracing.psum_bytes(
+                n * n * esz, grid.num_devices),
+            msgs=levels * 8,
+        )
+        scale = float(jnp.linalg.norm(a.astype(jnp.float32))) or 1.0
+        w, v = _solve_block(grid, a, cfg, scale, key)
+    # recursion emits blocks in shift order, not value order: sort
+    order = np.argsort(np.asarray(w, np.float64), kind="stable")
+    w = jnp.asarray(np.asarray(w)[order])
+    v = grid.constrain(jnp.take(v, jnp.asarray(order), axis=1), _spec(grid))
+    return w, v
