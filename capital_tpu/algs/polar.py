@@ -195,8 +195,6 @@ def _apply_zinv_1d(grid: Grid, x, rinv):
     def kern(x_blk, t_rep):
         y = blas.trmm(t_rep, x_blk, side="R", uplo="U",
                       platform=grid.platform)
-        # y @ triu(t)^T: masked dot (the tri kernel covers L/U^T/B@U;
-        # B@U^T is the one layout it skips — see blas.trmm)
         return blas.trmm(t_rep, y, side="R", uplo="U", trans_a=True,
                          platform=grid.platform)
 

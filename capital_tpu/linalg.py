@@ -12,6 +12,11 @@ built from the framework's own schedules:
   lstsq:      min ||A x - b||_2 for tall-skinny A — CholeskyQR2 + R^{-1}
               application (x = R^{-1} Q^T b).
   inv:        A^{-1} for SPD A       — Rinv Rinv^T.
+  pinv:       Moore-Penrose pseudo-inverse — QDWH-SVD with a relative
+              rank cutoff (algs/svd.py).
+  cond:       spectral condition number — singular values only.
+  spd_sqrt:   principal square root (and inverse square root) of an SPD
+              matrix — eigh-based V f(Λ) V^T (algs/eigh.py).
 
 All distributed, jit-friendly, and validated in tests against dense oracles.
 """
@@ -83,6 +88,70 @@ def inv(grid: Grid, a, cfg: cholinv.Config | None = None):
     _, rinv = cholinv.factor(grid, a, cfg)
     rinv_t = summa.transpose(grid, jnp.triu(rinv), impl=cfg.summa_impl)
     return summa.gemm(grid, jnp.triu(rinv), rinv_t, impl=cfg.summa_impl)
+
+
+def pinv(grid: Grid, a, rcond: float | None = None, cfg=None,
+         layout: str = "auto"):
+    """Moore-Penrose pseudo-inverse A^+ ((n, m) for (m, n) A, m >= n) via
+    QDWH-SVD: A^+ = V diag(1/s) U^T with singular values below
+    rcond * s_max treated as exactly 0 (numpy.linalg.pinv semantics;
+    rcond default: n * eps of the working dtype)."""
+    from capital_tpu.algs import svd as _svd
+
+    a = _arr(a)
+    m, n = a.shape
+    cfg = cfg or _svd.Config()
+    u, s, v = _svd.svd(grid, a, cfg, layout=layout)
+    if rcond is None:
+        rcond = n * float(jnp.finfo(a.dtype).eps)
+    cut = rcond * s[0]
+    sinv = jnp.where(s > cut, 1.0 / jnp.maximum(s, jnp.finfo(s.dtype).tiny),
+                     0.0).astype(a.dtype)
+    # A^+ = (V diag(1/s)) U^T — scale the small factor, one distributed gemm
+    vs = grid.constrain(v * sinv[None, :], grid.slice_spec)
+    if u.shape[0] == u.shape[1]:
+        uT = summa.transpose(grid, u, impl="gspmd")
+        return summa.gemm(grid, vs, uT, impl="gspmd")
+    # tall-skinny 1d: keep the big factor row-sharded — compute the
+    # row-sharded (A^+)^T = U (V diag(1/s))^T and hand back its (lazy)
+    # transpose, sharded over columns
+    from capital_tpu.ops.precision import dot as _pdot
+
+    up = _pdot(u, vs.T).astype(a.dtype)
+    return grid.constrain(up, P(ALL_AXES, None)).T
+
+
+def cond(grid: Grid, a, cfg=None, layout: str = "auto"):
+    """Spectral condition number s_max / s_min via QDWH-SVD singular
+    values (U/V still formed — the factors are the cost of the accurate
+    spectrum; for estimates use tracing's analytic model instead)."""
+    from capital_tpu.algs import svd as _svd
+
+    a = _arr(a)
+    cfg = cfg or _svd.Config()
+    s = _svd.singular_values(grid, a, cfg, layout=layout)
+    return (s[0] / s[-1]).astype(jnp.float32)
+
+
+def spd_sqrt(grid: Grid, a, cfg=None, inverse: bool = False):
+    """Principal square root A^{1/2} (or inverse square root A^{-1/2}) of
+    an SPD matrix via the distributed eigensolver: V f(Λ) V^T. The
+    whitening/preconditioning primitive (e.g. ZCA) the factor stack
+    enables."""
+    from capital_tpu.algs import eigh as _eigh
+
+    a = _arr(a)
+    cfg = cfg or _eigh.Config()
+    w, v = _eigh.eigh(grid, a, cfg)
+    w = jnp.maximum(w.astype(jnp.float32), 0.0)
+    f = jax.lax.rsqrt(jnp.maximum(w, jnp.finfo(jnp.float32).tiny)) \
+        if inverse else jnp.sqrt(w)
+    vf = grid.constrain(v * f.astype(a.dtype)[None, :], grid.slice_spec)
+    vt = summa.transpose(grid, v, impl="gspmd")
+    out = summa.gemm(grid, vf, vt, impl="gspmd")
+    # exact symmetry (the product is symmetric up to rounding)
+    outT = summa.transpose(grid, out, impl="gspmd")
+    return grid.constrain(0.5 * (out + outT), grid.slice_spec)
 
 
 def lstsq(grid: Grid, a, b, cfg: cacqr.Config | None = None,

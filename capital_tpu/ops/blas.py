@@ -86,7 +86,6 @@ def trmm(a, b, *, side="L", uplo="U", trans_a=False, diag="N", alpha=1.0,
         method = os.environ.get("CAPITAL_TRMM_METHOD") or (
             "tri" if on_tpu and not formq_like else "dot")
     if (method == "tri" and uplo == "U" and diag == "N"
-            and not (side == "R" and trans_a)
             and a.dtype in (jnp.float32, jnp.bfloat16)):
         from capital_tpu.ops.pallas_trmm import trmm_upper
 

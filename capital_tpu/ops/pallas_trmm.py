@@ -21,6 +21,11 @@ diagonal tiles in VMEM):
   side='R'             C = B @ triu(U)        pairs k <= j  (Q = A Rinv —
                                               the CholeskyQR formQ flop
                                               sink, m >> n)
+  side='R', trans_a    C = B @ triu(U)^T      pairs k >= j  (the QDWH
+                                              Halley step's X Rinv Rinv^T
+                                              second multiply — the U tile
+                                              is transposed in VMEM, one
+                                              512^2 shuffle per pair step)
 
 Lower-triangular callers use the masked-dot fallback (no algorithm in this
 framework multiplies by a lower factor on a hot path).
@@ -128,8 +133,6 @@ def trmm_upper(u: jax.Array, b: jax.Array, *, side: str = "L",
     a pallas operand needs is otherwise a real copy — ~20 ms of the
     n=32768 profile). Offsets must be tile-aligned; misaligned windows
     fall back to an explicit slice."""
-    if side == "R" and trans_a:
-        raise NotImplementedError("side='R' with trans_a")
     if matmul_precision is None:
         from capital_tpu.ops.precision import prec
 
@@ -186,9 +189,14 @@ def _trmm_upper_impl(u, b, *, side, trans_a, interpret, prec_, _T, _MC,
         # bf16 keeps its native 1-pass semantics in the fallback too
         fbp = (lax.Precision.DEFAULT if b.dtype == jnp.bfloat16 else prec_)
         t = jnp.triu(u)
-        if trans_a:
+        if trans_a and side == "L":
             return lax.dot_general(
                 t, b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=fbp).astype(b.dtype)
+        if trans_a:  # side='R': B @ U^T, contract col dims
+            return lax.dot_general(
+                b, t, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=fbp).astype(b.dtype)
         lhs, rhs = (t, b) if side == "L" else (b, t)
@@ -234,7 +242,7 @@ def _trmm_upper_impl(u, b, *, side, trans_a, interpret, prec_, _T, _MC,
         write_pred = lambda k, o, _np: k == o
         contract0 = True
         operands = (u, b)
-    else:
+    elif side == "R" and not trans_a:
         # side='R': C[i,j] = sum_{k<=j} B[i,k] U[k,j]; o enumerates j
         to, tk, first, npairs = _pairs(nt, lower_k=True)
         grid = (m // _MC, npairs)
@@ -251,10 +259,31 @@ def _trmm_upper_impl(u, b, *, side, trans_a, interpret, prec_, _T, _MC,
         write_pred = lambda k, o, _np: k == o
         contract0 = False
         operands = (b, u)
+    else:
+        # side='R', trans_a: C[i,j] = sum_{k>=j} B[i,k] U[j,k]; o
+        # enumerates j, the U tile is fetched at (o, k) and transposed in
+        # VMEM (one _T^2 shuffle per pair step, small next to the dot)
+        to, tk, first, npairs = _pairs(nt, lower_k=False)
+        grid = (m // _MC, npairs)
+        u_spec = pl.BlockSpec(
+            (_MC, _T), lambda i, p, to, tk, f: (bbr + i, bbc + tk[p]),
+            memory_space=pltpu.VMEM)  # B row panel (b_window offsets)
+        b_spec = pl.BlockSpec(
+            (_T, _T), lambda i, p, to, tk, f: (ubr + to[p], ubc + tk[p]),
+            memory_space=pltpu.VMEM)  # U tile (u_window offsets)
+        out_spec = pl.BlockSpec((_MC, _T), lambda i, p, to, tk, f: (i, to[p]),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((m, n), b.dtype)
+        acc_shape = (_MC, _T)
+        write_pred = lambda k, o, np_: k == np_ - 1
+        contract0 = False
+        operands = (b, u)
 
     if side == "R":
-        # kernel computes u_ref @ b_ref with (u_ref, b_ref) = (B-panel,
-        # U-tile): mask must apply to the SECOND ref. Use a dedicated body.
+        # kernel computes lhs @ rhs with (lhs, rhs) = (B-panel, U-tile):
+        # mask must apply to the SECOND ref. Use a dedicated body.
+        flush_last = trans_a  # o-runs end at k==nt-1 (trans) / k==o
+
         def kern(to_ref, tk_ref, first_ref, bp_ref, u_ref, out_ref, acc):
             p = pl.program_id(1)
 
@@ -263,9 +292,14 @@ def _trmm_upper_impl(u, b, *, side, trans_a, interpret, prec_, _T, _MC,
                 acc[:] = jnp.zeros_like(acc)
 
             u_t = _mask_diag_triu(u_ref[:], to_ref[p] == tk_ref[p])
+            if trans_a:
+                u_t = u_t.T
             acc[:] += _tile_dot(bp_ref[:], u_t, False, prec_)
 
-            @pl.when(tk_ref[p] == to_ref[p])
+            done = (tk_ref[p] == nt - 1 if flush_last
+                    else tk_ref[p] == to_ref[p])
+
+            @pl.when(done)
             def _():
                 out_ref[:] = acc[:].astype(out_ref.dtype)
     else:

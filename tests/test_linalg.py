@@ -114,3 +114,62 @@ def test_chunked_validators_match(grid1):
     np.testing.assert_allclose(d1, d0, rtol=0.5, atol=1e-7)
     np.testing.assert_allclose(i1, i0, rtol=0.5, atol=1e-7)
     assert d1 < 5e-6 and i1 < 5e-6
+
+
+def test_pinv_square(grid122):
+    import numpy as np
+
+    from capital_tpu import linalg
+    from capital_tpu.algs import cholinv, eigh, polar, svd
+
+    n = 256
+    rng = np.random.default_rng(11)
+    u, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s = np.geomspace(1.0, 1e-2, n)
+    a_np = (u * s) @ v.T
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    chol = cholinv.Config(min_bc=64, base_method="xla")
+    cfg = svd.Config(polar=polar.Config(chol=chol),
+                     eig=eigh.Config(base_n=128,
+                                     polar=polar.Config(compute_h=False,
+                                                        chol=chol)))
+    ap = linalg.pinv(grid122, a, cfg=cfg, layout="2d")
+    ap64 = np.asarray(ap, np.float64)
+    want = np.linalg.pinv(a_np)
+    # pinv error scales with cond^2 * eps for the small singular values
+    assert np.linalg.norm(ap64 - want) / np.linalg.norm(want) < 5e-3
+    # Moore-Penrose identities
+    assert np.linalg.norm(a_np @ ap64 @ a_np - a_np) / np.linalg.norm(a_np) < 1e-4
+
+
+def test_cond_and_spd_sqrt(grid122):
+    import numpy as np
+
+    from capital_tpu import linalg
+    from capital_tpu.algs import cholinv, eigh, polar, svd
+
+    n = 256
+    rng = np.random.default_rng(12)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = np.geomspace(4.0, 0.25, n)
+    a_np = (q * w) @ q.T
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    chol = cholinv.Config(min_bc=64, base_method="xla")
+    ecfg = eigh.Config(base_n=128,
+                       polar=polar.Config(compute_h=False, chol=chol))
+    scfg = svd.Config(polar=polar.Config(chol=chol), eig=ecfg)
+
+    c = float(linalg.cond(grid122, a, cfg=scfg, layout="2d"))
+    assert abs(c - 16.0) / 16.0 < 1e-3
+
+    h = linalg.spd_sqrt(grid122, a, cfg=ecfg)
+    h64 = np.asarray(h, np.float64)
+    np.testing.assert_allclose(h64, h64.T, atol=1e-6)
+    assert np.linalg.norm(h64 @ h64 - a_np) / np.linalg.norm(a_np) < 2e-5
+
+    hi = linalg.spd_sqrt(grid122, a, cfg=ecfg, inverse=True)
+    hi64 = np.asarray(hi, np.float64)
+    assert np.linalg.norm(hi64 @ a_np @ hi64 - np.eye(n)) / np.sqrt(n) < 5e-5

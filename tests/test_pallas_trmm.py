@@ -18,11 +18,11 @@ def _oracle(u, b, side, trans_a):
     b64 = np.asarray(b, np.float64)
     if side == "L":
         return (u64.T @ b64) if trans_a else (u64 @ b64)
-    return b64 @ u64
+    return (b64 @ u64.T) if trans_a else (b64 @ u64)
 
 
 @pytest.mark.parametrize("side,trans_a", [("L", False), ("L", True),
-                                          ("R", False)])
+                                          ("R", False), ("R", True)])
 def test_trmm_upper_matches_oracle(side, trans_a):
     n, m = 512, 256
     u = _rand((n, n), 1)
