@@ -75,6 +75,19 @@ class Config:
     min_split:   reject shifts splitting off fewer than this fraction of a
                  block (a lopsided split wastes a full polar); bisect
                  instead.
+    sign_l0:     l0 handed to the sign-function QDWH. None -> 10 * dtype
+                 eps. This must sit at the dtype's resolution, NOT polar's
+                 general-purpose 1e-5 default: eigenvalues within l0 * ||A -
+                 sigma I||_F of the shift get sign values short of +-1,
+                 leaking across the split — at a dense (Wigner-class)
+                 spectrum the nearest gap is ~width/n, and l0=1e-5 cost
+                 3 decades of eigenpair residual at n=8192 (3.8e-3 vs
+                 3.5e-6 measured on-chip). The tighter l0 adds 1-2 QDWH
+                 iterations (the early ones via the stacked-CQR2 step).
+    off_tol:     accept a split only if the rotated off-diagonal coupling
+                 ||B21||_F <= off_tol * ||A||_F; larger means the invariant
+                 subspaces leaked (shift in a cluster / rank-deficient
+                 splitting basis) and the shift is retried.
     polar:       nested QDWH config (the sign-function engine). Its `chol`
                  member is the cholinv schedule used for every Z-solve.
     seed:        base PRNG seed for the splitting Gaussians (counter-based,
@@ -87,6 +100,8 @@ class Config:
     shift_tries: int = 4
     cluster_rel: float | None = None
     min_split: float = 0.05
+    sign_l0: float | None = None
+    off_tol: float = 1e-3
     polar: _polar.Config = field(
         default_factory=lambda: _polar.Config(compute_h=False))
     seed: int = 7
@@ -95,6 +110,19 @@ class Config:
         if self.cluster_rel is not None:
             return float(self.cluster_rel)
         return 40.0 * float(jnp.finfo(dtype).eps)
+
+    def sign_polar_cfg(self, dtype) -> _polar.Config:
+        """The polar config for sign(A - sigma I): cfg.polar with l0
+        pinned to the sign resolution (see sign_l0) and at least two
+        Newton-Schulz polish sweeps (each squares the involution error of
+        U; one sweep costs 3n^3 — ~2% of the sign computation — and the
+        split coupling it scrubs is the eigensolver's accuracy floor)."""
+        import dataclasses
+
+        l0 = self.sign_l0 if self.sign_l0 is not None else \
+            10.0 * float(jnp.finfo(dtype).eps)
+        return dataclasses.replace(self.polar, l0=l0,
+                                   ns_polish=max(self.polar.ns_polish, 2))
 
 
 def _spec(grid: Grid) -> P:
@@ -144,8 +172,8 @@ def _stage_sign(grid: Grid, a, sigma, cfg: Config):
     shifted = grid.constrain(
         a - sigma.astype(a.dtype) * jnp.eye(n, dtype=a.dtype), _spec(grid))
     npad = -(-n // _split_align(grid)) * _split_align(grid)
-    u = _polar.polar(grid, _embed(grid, shifted, npad, 0.0), cfg.polar,
-                     layout="2d")
+    u = _polar.polar(grid, _embed(grid, shifted, npad, 0.0),
+                     cfg.sign_polar_cfg(a.dtype), layout="2d")
     u = grid.constrain(u[:n, :n], _spec(grid))
     # re-symmetrize: sign(symmetric) is symmetric; the iteration's rounding
     # drift is cheap to scrub and keeps the projector ranges orthogonal
@@ -246,6 +274,16 @@ def _glue(grid: Grid, v, v1, v2, k: int):
 # --------------------------------------------------------------------------
 
 
+def _dbg(msg: str):
+    """Per-level diagnostics (CAPITAL_EIGH_DEBUG=1): the D&C recursion is
+    host-orchestrated, so plain prints are the honest trace of the actual
+    shift/split decisions (the jit stages between them are opaque)."""
+    import os
+
+    if os.environ.get("CAPITAL_EIGH_DEBUG"):
+        print(f"[eigh] {msg}", flush=True)
+
+
 def _solve_block(grid: Grid, a, cfg: Config, scale: float, key):
     n = a.shape[0]
     if n <= cfg.base_n:
@@ -283,7 +321,9 @@ def _solve_block(grid: Grid, a, cfg: Config, scale: float, key):
         key, k1, k2, ksplit = jax.random.split(key, 4)
         b11, b22, v, off = _stage_split(grid, a, u, ksplit, cfg, k)
         off_f = float(off)
-        if not math.isfinite(off_f) or off_f > 0.01 * scale:
+        _dbg(f"n={n} try={attempt} sigma={sigma:.6g} k={k} "
+             f"off={off_f:.3e} rel={off_f / scale:.3e}")
+        if not math.isfinite(off_f) or off_f > cfg.off_tol * scale:
             # the invariant-subspace split failed (rank(P) mismatch from a
             # sigma inside a cluster, or a rank-deficient splitting basis):
             # retry with a moved shift

@@ -159,9 +159,16 @@ def _cqr2_step_2d(grid: Grid, x, a, b, c, chol_cfg):
     n = x.shape[1]
     sc = math.sqrt(c)
     impl = chol_cfg.summa_impl
+    # pass 1: Gram of the stack IS Z; Q1 = sqrt(c) X R1inv, Q2 = R1inv.
+    # The +delta*I is the shifted-CholeskyQR regularization (Fukaya et al.
+    # 2020): cond(Z) ~ c_k can exceed 1/eps for tight l0 (the sign-function
+    # use, algs/eigh.py), where an unshifted Cholesky returns NaN. The
+    # stack's identity block keeps sigma_min >= 1, so the shifted pass-1
+    # factor has cond ~ sqrt(delta) = O(sqrt(eps*c)) and pass 2 restores
+    # orthonormality of the TRUE stack to working accuracy.
+    delta = 20.0 * float(jnp.finfo(x.dtype).eps) * (1.0 + c)
     eye = grid.constrain(jnp.eye(n, dtype=x.dtype), grid.slice_spec)
-    # pass 1: Gram of the stack IS Z; Q1 = sqrt(c) X R1inv, Q2 = R1inv
-    z = summa.syrk(grid, x, c=eye, alpha=c, beta=1.0, impl=impl)
+    z = summa.syrk(grid, x, c=eye, alpha=c, beta=1.0 + delta, impl=impl)
     _, r1inv = _cholinv.factor(grid, z, chol_cfg)
     q1 = summa.trmm(grid, r1inv, (sc * x).astype(x.dtype), side="R",
                     uplo="U", impl=impl)
@@ -178,12 +185,16 @@ def _cqr2_step_2d(grid: Grid, x, a, b, c, chol_cfg):
     return ((b / c) * x + ((a - b / c) / sc) * y).astype(x.dtype)
 
 
-def _zsolve_1d(grid: Grid, x, cscale, cfg: Config):
-    """(Z, Rinv of Z) for Z = I + c X^T X, replicated; X row-sharded."""
+def _zsolve_1d(grid: Grid, x, cscale, cfg: Config, delta: float = 0.0):
+    """(Z, Rinv of Z) for Z = (1 + delta) I + c X^T X, replicated; X
+    row-sharded. delta > 0 is the shifted-CholeskyQR regularization used
+    by the stacked-CQR2 step (see _cqr2_step_2d) — the plain Halley solve
+    runs unshifted (c <= qr_switch keeps Z well-conditioned there)."""
     n = x.shape[1]
     g = _cacqr.gram_1d(grid, x, "allreduce", kernel="auto")
     z = cscale * g.astype(jnp.promote_types(g.dtype, jnp.float32)) \
-        + jnp.eye(n, dtype=jnp.promote_types(g.dtype, jnp.float32))
+        + (1.0 + delta) * jnp.eye(n, dtype=jnp.promote_types(g.dtype,
+                                                             jnp.float32))
     z = z.astype(x.dtype)
     _, rinv = lapack.chol_inv(z, lower=False, platform=grid.platform)
     return z, rinv
@@ -218,8 +229,10 @@ def _cqr2_step_1d(grid: Grid, x, a, b, c, cfg: Config):
     n = x.shape[1]
     sc = math.sqrt(c)
     row_spec = P(ALL_AXES, None)
-    # pass 1: the stack's Gram IS Z = I + c X^T X
-    _, r1inv = _zsolve_1d(grid, x, c, cfg)
+    # pass 1: the stack's Gram IS Z = I + c X^T X (+ the sCQR shift, see
+    # _cqr2_step_2d)
+    delta = 20.0 * float(jnp.finfo(x.dtype).eps) * (1.0 + c)
+    _, r1inv = _zsolve_1d(grid, x, c, cfg, delta=delta)
     q2 = jnp.triu(r1inv)
 
     def scale_trmm(x_blk, t_rep):
