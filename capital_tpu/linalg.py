@@ -154,6 +154,35 @@ def spd_sqrt(grid: Grid, a, cfg=None, inverse: bool = False):
     return grid.constrain(0.5 * (out + outT), grid.slice_spec)
 
 
+def nearest_orthogonal(grid: Grid, a, cfg=None, layout: str = "auto"):
+    """The orthogonal matrix closest to A in Frobenius norm = A's polar
+    factor U (Fan-Hoffman; the Procrustes primitive). One QDWH sweep."""
+    from capital_tpu.algs import polar as _polar
+
+    import dataclasses
+
+    cfg = cfg or _polar.Config()
+    if cfg.compute_h:
+        cfg = dataclasses.replace(cfg, compute_h=False)
+    return _polar.polar(grid, _arr(a), cfg, layout=layout)
+
+
+def nearest_psd(grid: Grid, a, cfg=None):
+    """The symmetric positive-semidefinite matrix closest to A in
+    Frobenius norm (Higham 1988): X = (B + H)/2 with B = (A + A^T)/2 and
+    H the polar hermitian factor of B. One QDWH sweep + a transpose."""
+    from capital_tpu.algs import polar as _polar
+
+    cfg = cfg or _polar.Config()
+    a = _arr(a)
+    at = summa.transpose(grid, a, impl="gspmd")
+    b = grid.constrain(0.5 * (a + at), grid.slice_spec)
+    _, h = _polar.polar(grid, b, cfg, layout="2d")
+    x = grid.constrain(0.5 * (b + h), grid.slice_spec)
+    xt = summa.transpose(grid, x, impl="gspmd")
+    return grid.constrain(0.5 * (x + xt), grid.slice_spec)
+
+
 def lstsq(grid: Grid, a, b, cfg: cacqr.Config | None = None,
           refine: int = 0):
     """min ||A x - b||_2 for tall-skinny A ((m, n) row-sharded over the full

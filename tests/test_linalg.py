@@ -173,3 +173,34 @@ def test_cond_and_spd_sqrt(grid122):
     hi = linalg.spd_sqrt(grid122, a, cfg=ecfg, inverse=True)
     hi64 = np.asarray(hi, np.float64)
     assert np.linalg.norm(hi64 @ a_np @ hi64 - np.eye(n)) / np.sqrt(n) < 5e-5
+
+
+def test_nearest_orthogonal_and_psd(grid122):
+    import numpy as np
+
+    from capital_tpu import linalg
+    from capital_tpu.algs import cholinv, polar
+
+    n = 192
+    rng = np.random.default_rng(13)
+    a_np = rng.standard_normal((n, n)) * 0.5 + np.eye(n)
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    pcfg = polar.Config(chol=cholinv.Config(min_bc=64, base_method="xla"))
+
+    u = linalg.nearest_orthogonal(grid122, a, cfg=pcfg)
+    u64 = np.asarray(u, np.float64)
+    assert np.linalg.norm(u64.T @ u64 - np.eye(n)) / np.sqrt(n) < 1e-5
+    # oracle: polar factor from SVD
+    uu, _, vv = np.linalg.svd(a_np)
+    assert np.abs(u64 - uu @ vv).max() < 1e-4
+
+    x = linalg.nearest_psd(grid122, a, cfg=pcfg)
+    x64 = np.asarray(x, np.float64)
+    np.testing.assert_allclose(x64, x64.T, atol=1e-6)
+    assert np.linalg.eigvalsh(x64).min() > -1e-4
+    # Higham oracle: eigenvalue clipping of the symmetric part
+    b = (a_np + a_np.T) / 2
+    w, q = np.linalg.eigh(b)
+    want = (q * np.maximum(w, 0.0)) @ q.T
+    assert np.linalg.norm(x64 - want) / np.linalg.norm(want) < 1e-4
