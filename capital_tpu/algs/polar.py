@@ -360,3 +360,10 @@ def polar(grid: Grid, a, cfg: Config = Config(), layout: str = "auto"):
             ht = summa.transpose(grid, h, impl=cfg.chol.summa_impl)
             h = grid.constrain(0.5 * (h + ht), grid.slice_spec)
     return x, h.astype(a.dtype)
+
+
+# jit-wrapped entry: the sweep is pure traced JAX (weights are trace-time
+# constants). Compiled, XLA liveness-analyzes the whole iteration — eager
+# dispatch holds ~5 live (m, n) iterates and OOMs 16-GB HBM at
+# 2^18 x 2048 f32, where the compiled sweep peaks at ~3.
+polar_jit = jax.jit(polar, static_argnames=("grid", "cfg", "layout"))

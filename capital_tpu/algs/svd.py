@@ -50,6 +50,8 @@ class Config:
     eig: _eigh.Config = field(default_factory=lambda: _eigh.Config())
 
 
+
+
 def svd(grid: Grid, a, cfg: Config = Config(), layout: str = "auto"):
     """A = U diag(s) V^T for (m, n) A with m >= n, distributed.
 
@@ -65,7 +67,7 @@ def svd(grid: Grid, a, cfg: Config = Config(), layout: str = "auto"):
     layout = _polar._resolve_layout(grid, a, layout)
 
     with tracing.phase("SVD::polar"):
-        up, h = _polar.polar(grid, a, cfg.polar, layout=layout)
+        up, h = _polar.polar_jit(grid, a, cfg.polar, layout=layout)
     with tracing.phase("SVD::eigh"):
         if layout == "1d" or n <= cfg.eig.base_n:
             # n x n H: replicated base solve when small, else re-shard onto

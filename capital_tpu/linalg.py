@@ -164,7 +164,11 @@ def nearest_orthogonal(grid: Grid, a, cfg=None, layout: str = "auto"):
     cfg = cfg or _polar.Config()
     if cfg.compute_h:
         cfg = dataclasses.replace(cfg, compute_h=False)
-    return _polar.polar(grid, _arr(a), cfg, layout=layout)
+    a = _arr(a)
+    # resolve 'auto' eagerly: inside the jitted sweep tracers carry no
+    # committed sharding for _resolve_layout to inspect
+    layout = _polar._resolve_layout(grid, a, layout)
+    return _polar.polar_jit(grid, a, cfg, layout=layout)
 
 
 def nearest_psd(grid: Grid, a, cfg=None):
@@ -177,7 +181,7 @@ def nearest_psd(grid: Grid, a, cfg=None):
     a = _arr(a)
     at = summa.transpose(grid, a, impl="gspmd")
     b = grid.constrain(0.5 * (a + at), grid.slice_spec)
-    _, h = _polar.polar(grid, b, cfg, layout="2d")
+    _, h = _polar.polar_jit(grid, b, cfg, layout="2d")
     x = grid.constrain(0.5 * (b + h), grid.slice_spec)
     xt = summa.transpose(grid, x, impl="gspmd")
     return grid.constrain(0.5 * (x + xt), grid.slice_spec)
