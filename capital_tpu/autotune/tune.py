@@ -154,6 +154,53 @@ def sweep_cacqr(grid: Grid, a, space: dict | None = None,
     return out
 
 
+def sweep_eigh(grid: Grid, a, space: dict | None = None,
+               num_iter: int = 1) -> list[Candidate]:
+    """Sweep the divide-and-conquer eigensolver's knobs (no reference
+    counterpart — the spectral layer is beyond-parity; the sweep shape
+    follows the same harness). eigh is host-orchestrated, so candidates
+    are measured by full runs and the cost vector comes from the analytic
+    records the run itself emits (tracing.record in algs/eigh.py)."""
+    from capital_tpu.algs import cholinv, eigh, polar
+
+    space = space or {
+        "base_n": [1024, 2048] if grid.num_devices == 1 else [256, 512],
+        "summa_impl": (["gspmd"] if grid.num_devices == 1
+                       else ["shard_map", "gspmd"]),
+        # None -> 10*eps (accuracy default); 1e-5 trades ~2 QDWH
+        # iterations for split-coupling residual (see eigh.Config.sign_l0)
+        "sign_l0": [None, 1e-5],
+        "precision": ["highest", "high"],
+    }
+    out = []
+    keys = list(space)
+    for vals in itertools.product(*(space[k] for k in keys)):
+        params = dict(zip(keys, vals))
+        cand = Candidate(params=params)
+        try:
+            chol = cholinv.Config(summa_impl=params["summa_impl"],
+                                  base_method="auto")
+            cfg = eigh.Config(
+                base_n=params["base_n"], sign_l0=params["sign_l0"],
+                polar=polar.Config(compute_h=False, chol=chol))
+            with jax.default_matmul_precision(params.get("precision",
+                                                         "highest")):
+                fn = lambda x, cfg=cfg: eigh.eigh(grid, x, cfg)  # noqa: E731
+                with tracing.trace() as t:
+                    fn(a)
+                tot = t.totals()
+                cand.costs = {"gflop": tot.flops / 1e9,
+                              "ici_mib": tot.comm_bytes / 2**20,
+                              "msgs": tot.msgs}
+                cand.model_time_s = t.model_time(flops_per_s=3.3e13,
+                                                 ici_bytes_per_s=9e10)
+                cand.time_s = _measure(lambda: fn, (a,), num_iter)
+        except Exception as e:
+            cand.error = f"{type(e).__name__}: {e}"
+        out.append(cand)
+    return out
+
+
 def grid_candidates(devices=None):
     """Feasible grid shapes for the visible device count — the reference's
     rep_factor / grid-aspect tuning axis (ref: the QR tuner sweeps aspect
@@ -198,6 +245,12 @@ def sweep_grids(alg: str = "cholinv", n: int = 4096, m: int = 1 << 18,
         if alg == "cholinv":
             a = matrix.symmetric(grid, n, jax.random.key(0), align=128).data
             cands = sweep_cholinv(grid, a, space, num_iter=num_iter)
+        elif alg == "eigh":
+            if kind != "square":
+                continue  # the eigensolver's 2d stages want a square slice
+            a = matrix.symmetric(grid, n, jax.random.key(0),
+                                 diag_shift=0.0, align=128).data
+            cands = sweep_eigh(grid, a, space, num_iter=num_iter)
         else:
             a = matrix.tall_skinny(grid, m, n, jax.random.key(0)).data
             cands = sweep_cacqr(grid, a, space, num_iter=num_iter)
@@ -269,8 +322,9 @@ def main(argv=None):
 
     from capital_tpu import matrix
 
-    p = argparse.ArgumentParser(description="autotune cholinv / cacqr")
-    p.add_argument("--alg", default="cholinv", choices=["cholinv", "cacqr"])
+    p = argparse.ArgumentParser(description="autotune cholinv / cacqr / eigh")
+    p.add_argument("--alg", default="cholinv",
+                   choices=["cholinv", "cacqr", "eigh"])
     p.add_argument("--n", type=int, default=4096)
     p.add_argument("--m", type=int, default=1 << 18)
     p.add_argument("--num-iter", type=int, default=2)
@@ -302,6 +356,11 @@ def main(argv=None):
             a = matrix.symmetric(grid, args.n, jax.random.key(0),
                                  align=128).data
             cands = sweep_cholinv(grid, a, num_iter=args.num_iter)
+        elif args.alg == "eigh":
+            # spread spectrum (see bench/eigh.py): the honest D&C workload
+            a = matrix.symmetric(grid, args.n, jax.random.key(0),
+                                 diag_shift=0.0, align=128).data
+            cands = sweep_eigh(grid, a, num_iter=args.num_iter)
         else:
             a = matrix.tall_skinny(grid, args.m, args.n,
                                    jax.random.key(0)).data

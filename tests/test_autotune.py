@@ -61,3 +61,24 @@ def test_sweep_cacqr_gram_axis(grid222):
     cands = tune.sweep_cacqr(grid222, a, space, num_iter=1)
     assert not [c.error for c in cands if c.error]
     assert len(cands) == 3
+
+
+def test_sweep_eigh(grid122):
+    """Spectral sweep: every candidate runs clean and carries the analytic
+    cost vector the run emits."""
+    import numpy as np
+
+    from capital_tpu.algs import cholinv, polar  # noqa: F401 (import check)
+
+    rng = np.random.default_rng(7)
+    q, _ = np.linalg.qr(rng.standard_normal((256, 256)))
+    a_np = (q * np.linspace(0.5, 3.0, 256)) @ q.T
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    space = {"base_n": [128, 256], "summa_impl": ["gspmd"],
+             "sign_l0": [None], "precision": ["highest"]}
+    cands = tune.sweep_eigh(grid122, a, space, num_iter=1)
+    assert len(cands) == 2
+    assert not [c.error for c in cands if c.error]
+    assert all(c.time_s < float("inf") for c in cands)
+    assert all(c.costs.get("gflop", 0) > 0 for c in cands)
