@@ -156,6 +156,14 @@ def trmm_upper(u: jax.Array, b: jax.Array, *, side: str = "L",
                 if ext % cand == 0 and off % cand == 0:
                     mc = cand
                     break
+        from capital_tpu.ops.pallas_dot import canonicalize as _canon
+
+        if (side == "R" and trans_a and b.dtype == jnp.float32
+                and _canon(matmul_precision) == lax.Precision.HIGH):
+            # this layout carries an in-VMEM transposed U tile; with the
+            # software 3-pass hi/lo splits the 512-chunk stack overruns
+            # the 16M scoped-vmem limit by ~244K — halve the row chunk
+            mc = 256
     return _trmm_upper_impl(u, b, side=side, trans_a=trans_a,
                             interpret=interpret, prec_=matmul_precision,
                             _T=t, _MC=mc, u_window=u_window,
