@@ -154,6 +154,77 @@ def spd_sqrt(grid: Grid, a, cfg=None, inverse: bool = False):
     return grid.constrain(0.5 * (out + outT), grid.slice_spec)
 
 
+def solve(grid: Grid, a, b, method: str = "auto", refine: int = 2,
+          cfg: cholinv.Config | None = None, polar_cfg=None):
+    """x = A^{-1} b for GENERAL square A ((n, n) slice-sharded; b (n, k)).
+
+    The reference factors only SPD (cholinv) and tall-skinny (cacqr)
+    operands; a general solver is the natural completion, built
+    TPU-natively from the same engines — no pivoted LU (partial pivoting
+    is a sequential, gather-heavy schedule XLA cannot tile; the
+    communication-avoiding literature replaces it with exactly these
+    QR/polar-based routes):
+
+    method='normal' (default for `auto`): factor the SPD Gram A^T A with
+        cholinv and refine on the TRUE residual,
+            x <- x + (A^T A)^{-1} A^T (b - A x),
+        residual gemm pinned to HIGHEST. Cost: one n^3/3-class factor + 2
+        gemms per sweep. Stable while cond(A)^2 * eps_factor < 1 (f32
+        HIGHEST factor: cond(A) up to ~1e3; each sweep contracts the
+        error by ~cond^2 * eps).
+    method='polar': A = U H (QDWH), x = H^{-1} (U^T b) via spd_solve on
+        the polar factor — cond(H) = cond(A), so this holds to
+        cond ~ 1e5-class f32 at ~6x the normal-equation cost.
+    """
+    a, b = _arr(a), _arr(b)
+    if b.ndim == 1:
+        b = b[:, None]
+    cfg = cfg or cholinv.Config(summa_impl="gspmd")
+    impl = cfg.summa_impl
+    if method == "auto":
+        method = "normal"
+    if method == "polar":
+        from capital_tpu.algs import polar as _polar
+
+        pcfg = polar_cfg or _polar.Config(chol=cfg)
+        u, h = _polar.polar_jit(grid, a, pcfg, layout="2d")
+        utb = summa.gemm(grid, summa.transpose(grid, u, impl=impl), b,
+                         impl=impl)
+        return spd_solve(grid, h, utb, cfg=cfg, refine=refine)
+    if method != "normal":
+        raise ValueError(f"unknown solve method {method!r}")
+
+    at = summa.transpose(grid, a, impl=impl)
+    with jax.default_matmul_precision("highest"):
+        gram = summa.gemm(grid, at, a, impl=impl)
+    _, rinv = cholinv.factor(grid, gram, cfg)
+
+    def apply_pinv(v):
+        atv = summa.gemm(grid, at, v, impl=impl)
+        y = summa.trmm(grid, rinv, atv, side="L", uplo="U", trans_a=True,
+                       impl=impl)
+        return summa.trmm(grid, rinv, y, side="L", uplo="U", impl=impl)
+
+    x = apply_pinv(b)
+    for _ in range(refine):
+        with jax.default_matmul_precision("highest"):
+            res = b - summa.gemm(grid, a, x, impl=impl)
+        x = x + apply_pinv(res)
+    return x
+
+
+def slogdet_spd(grid: Grid, a, cfg: cholinv.Config | None = None,
+                factor=None):
+    """(sign=1, log|det A|) for SPD A: 2 * sum(log diag R) from the
+    cholinv factor (reusable via factor=(R, Rinv))."""
+    a = _arr(a)
+    cfg = cfg or cholinv.Config(summa_impl="gspmd")
+    r = (factor or cholinv.factor(grid, a, cfg))[0]
+    d = jnp.diagonal(r).astype(jnp.float32)
+    return jnp.float32(1.0), 2.0 * jnp.sum(jnp.log(jnp.maximum(
+        d, jnp.finfo(jnp.float32).tiny)))
+
+
 def nearest_orthogonal(grid: Grid, a, cfg=None, layout: str = "auto"):
     """The orthogonal matrix closest to A in Frobenius norm = A's polar
     factor U (Fan-Hoffman; the Procrustes primitive). One QDWH sweep."""

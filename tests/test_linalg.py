@@ -204,3 +204,74 @@ def test_nearest_orthogonal_and_psd(grid122):
     w, q = np.linalg.eigh(b)
     want = (q * np.maximum(w, 0.0)) @ q.T
     assert np.linalg.norm(x64 - want) / np.linalg.norm(want) < 1e-4
+
+
+def test_general_solve_normal_and_polar(grid122):
+    import numpy as np
+
+    from capital_tpu import linalg
+    from capital_tpu.algs import cholinv
+
+    n, k = 256, 8
+    rng = np.random.default_rng(21)
+    # controlled cond=50 nonsymmetric operand
+    u, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a_np = (u * np.geomspace(1.0, 1.0 / 50.0, n)) @ v.T
+    x_true = rng.standard_normal((n, k))
+    b_np = a_np @ x_true
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    b = jax.device_put(np.asarray(b_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    cfg = cholinv.Config(min_bc=64, base_method="xla")
+
+    for method, tol in (("normal", 5e-5), ("polar", 5e-5)):
+        x = linalg.solve(grid122, a, b, method=method, cfg=cfg)
+        err = np.linalg.norm(np.asarray(x, np.float64) - x_true) \
+            / np.linalg.norm(x_true)
+        assert err < tol, (method, err)
+
+
+def test_general_solve_polar_hard_cond(grid122):
+    import numpy as np
+
+    from capital_tpu import linalg
+    from capital_tpu.algs import cholinv
+
+    n = 192
+    rng = np.random.default_rng(22)
+    u, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a_np = (u * np.geomspace(1.0, 1e-4, n)) @ v.T  # cond 1e4
+    x_true = rng.standard_normal((n, 4))
+    b_np = a_np @ x_true
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    b = jax.device_put(np.asarray(b_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    cfg = cholinv.Config(min_bc=64, base_method="xla")
+    x = linalg.solve(grid122, a, b, method="polar", refine=2, cfg=cfg)
+    # forward error bounded by cond * eps-class
+    err = np.linalg.norm(np.asarray(x, np.float64) - x_true) \
+        / np.linalg.norm(x_true)
+    assert err < 5e-2, err
+    # backward residual is the stable-solver contract
+    res = np.linalg.norm(a_np @ np.asarray(x, np.float64) - b_np) \
+        / np.linalg.norm(b_np)
+    assert res < 1e-5, res
+
+
+def test_slogdet_spd(grid122):
+    import numpy as np
+
+    from capital_tpu import linalg, matrix
+    from capital_tpu.algs import cholinv
+
+    n = 256
+    a = matrix.symmetric(grid122, n, jax.random.key(30)).data
+    sign, ld = linalg.slogdet_spd(
+        grid122, a, cfg=cholinv.Config(min_bc=64, base_method="xla"))
+    want = np.linalg.slogdet(np.asarray(a, np.float64))
+    assert float(sign) == 1.0 and want[0] == 1.0
+    np.testing.assert_allclose(float(ld), want[1], rtol=1e-5)
