@@ -338,6 +338,41 @@ def _solve_block(grid: Grid, a, cfg: Config, scale: float, key):
     return _base_eigh(grid, a)
 
 
+def eigh_gen(grid: Grid, a, b, cfg: Config = Config()):
+    """Generalized symmetric-definite eigenproblem A x = lambda B x
+    (A symmetric, B SPD, both (n, n) slice-sharded).
+
+    The LAPACK sygst reduction, distributed: B = R^T R (cholinv — whose
+    EXPLICIT R^{-1} makes the reduction two summa TRMMs instead of two
+    triangular solves, the same design win as the solver API,
+    ref: the simultaneous-inverse rationale of cholinv.hpp:147-156):
+
+        C = R^{-T} A R^{-1}   (symmetric),  C y = lambda y,
+        x = R^{-1} y.
+
+    Returns (w ascending, X (n, n) with B-orthonormal columns:
+    X^T B X = I)."""
+    if isinstance(a, DistMatrix):
+        a = a.data
+    if isinstance(b, DistMatrix):
+        b = b.data
+    if a.shape != b.shape or a.shape[0] != a.shape[1]:
+        raise ValueError(f"eigh_gen needs square same-shape A, B: "
+                         f"{a.shape} vs {b.shape}")
+    impl = cfg.polar.chol.summa_impl
+    with tracing.phase("EIG::reduce"):
+        _, rinv = _cholinv.factor(grid, b, cfg.polar.chol)
+        # C = Rinv^T (A Rinv); re-symmetrize the rounding drift
+        ar = summa.trmm(grid, rinv, a, side="R", uplo="U", impl=impl)
+        c = summa.trmm(grid, rinv, ar, side="L", uplo="U", trans_a=True,
+                       impl=impl)
+        c = grid.constrain(0.5 * (c + c.T), _spec(grid))
+    w, y = eigh(grid, c, cfg)
+    with tracing.phase("EIG::backtransform"):
+        x = summa.trmm(grid, rinv, y, side="L", uplo="U", impl=impl)
+    return w, grid.constrain(x, _spec(grid))
+
+
 def eigh(grid: Grid, a, cfg: Config = Config()):
     """Full symmetric eigendecomposition A = V diag(w) V^T, distributed.
 

@@ -114,3 +114,35 @@ def test_eigh_rejects_nonsquare(grid122):
     a = jnp.zeros((8, 4), jnp.float32)
     with pytest.raises(ValueError):
         eigh.eigh(grid122, a)
+
+
+def test_eigh_generalized(grid122):
+    """A x = lambda B x against an f64 oracle built from the same
+    reduction; X must be B-orthonormal."""
+    n = 256
+    rng = np.random.default_rng(9)
+    s = rng.standard_normal((n, n))
+    a_np = (s + s.T) / 2
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    b_np = (q * np.linspace(0.5, 2.0, n)) @ q.T  # SPD, cond 4
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    b = jax.device_put(np.asarray(b_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    w, x = eigh.eigh_gen(grid122, a, b, _cfg())
+
+    # f64 oracle via the same (exact) reduction
+    r = np.linalg.cholesky(b_np).T
+    rinv = np.linalg.inv(r)
+    c = rinv.T @ a_np @ rinv
+    w_true = np.linalg.eigvalsh(c)
+    scale = np.abs(w_true).max()
+    assert np.abs(np.asarray(w, np.float64) - w_true).max() < 5e-4 * scale
+
+    x64 = np.asarray(x, np.float64)
+    # B-orthonormality
+    btb = x64.T @ b_np @ x64
+    assert np.linalg.norm(btb - np.eye(n)) / np.sqrt(n) < 2e-5
+    # generalized eigenpair residual
+    res = np.linalg.norm(a_np @ x64 - (b_np @ x64) * np.asarray(w, np.float64))
+    assert res / np.linalg.norm(a_np) < 1e-3
