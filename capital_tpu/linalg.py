@@ -213,6 +213,61 @@ def solve(grid: Grid, a, b, method: str = "auto", refine: int = 2,
     return x
 
 
+# Pade-13 coefficients of exp (Higham 2005, the scipy/LAPACK table)
+_EXPM_B13 = (
+    64764752532480000.0, 32382376266240000.0, 7771770303897600.0,
+    1187353796428800.0, 129060195264000.0, 10559470521600.0,
+    670442572800.0, 33522128640.0, 1323241920.0, 40840800.0,
+    960960.0, 16380.0, 182.0, 1.0,
+)
+
+
+def expm(grid: Grid, a, cfg: cholinv.Config | None = None,
+         solve_refine: int = 2):
+    """Matrix exponential e^A for square A (slice-sharded), by
+    scaling-and-squaring with the degree-13 Pade approximant (Higham,
+    SIAM J. Matrix Anal. 26(4), 2005 — the scipy.linalg.expm algorithm),
+    distributed: six summa gemms for the powers/polynomials, one general
+    `solve` for the Pade quotient, s squaring gemms. The scaling exponent
+    s comes from the 1-norm (one host sync — the same host-orchestration
+    tier as the eigensolver's shifts)."""
+    a = _arr(a)
+    n = a.shape[0]
+    if a.shape != (n, n):
+        raise ValueError(f"expm needs a square matrix, got {a.shape}")
+    cfg = cfg or cholinv.Config(summa_impl="gspmd")
+    impl = cfg.summa_impl
+    theta13 = 5.371920351148152
+    norm1 = float(jnp.max(jnp.sum(jnp.abs(a.astype(jnp.float32)), axis=0)))
+    import math as _math
+
+    s = max(0, int(_math.ceil(_math.log2(max(norm1, 1e-30) / theta13)))) \
+        if norm1 > theta13 else 0
+    x = (a / jnp.asarray(2.0**s, a.dtype)).astype(a.dtype)
+
+    def mm(p, q):
+        return summa.gemm(grid, p, q, impl=impl)
+
+    b = _EXPM_B13
+    eye = grid.constrain(jnp.eye(n, dtype=x.dtype), grid.slice_spec)
+    x2 = mm(x, x)
+    x4 = mm(x2, x2)
+    x6 = mm(x2, x4)
+    w1 = b[13] * x6 + b[11] * x4 + b[9] * x2
+    w2 = b[7] * x6 + b[5] * x4 + b[3] * x2 + b[1] * eye
+    u = mm(x, mm(x6, w1) + w2)
+    z1 = b[12] * x6 + b[10] * x4 + b[8] * x2
+    v = mm(x6, z1) + b[6] * x6 + b[4] * x4 + b[2] * x2 + b[0] * eye
+    # r13 = (V - U)^{-1} (V + U); V - U is well-conditioned for the
+    # scaled operand (||X|| <= theta13)
+    r = solve(grid, v - u, v + u, method="normal", refine=solve_refine,
+              cfg=cfg)
+    r = grid.constrain(r.astype(a.dtype), grid.slice_spec)
+    for _ in range(s):
+        r = mm(r, r)
+    return r
+
+
 def slogdet_spd(grid: Grid, a, cfg: cholinv.Config | None = None,
                 factor=None):
     """(sign=1, log|det A|) for SPD A: 2 * sum(log diag R) from the

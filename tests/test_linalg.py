@@ -275,3 +275,42 @@ def test_slogdet_spd(grid122):
     want = np.linalg.slogdet(np.asarray(a, np.float64))
     assert float(sign) == 1.0 and want[0] == 1.0
     np.testing.assert_allclose(float(ld), want[1], rtol=1e-5)
+
+
+def test_expm_against_torch_oracle(grid122):
+    import numpy as np
+    import torch
+
+    from capital_tpu import linalg
+    from capital_tpu.algs import cholinv
+
+    n = 192
+    rng = np.random.default_rng(31)
+    # moderate-norm nonsymmetric operand (one squaring level)
+    a_np = rng.standard_normal((n, n)) * (8.0 / np.sqrt(n))
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    out = linalg.expm(grid122, a,
+                      cfg=cholinv.Config(min_bc=64, base_method="xla"))
+    want = torch.matrix_exp(torch.tensor(a_np, dtype=torch.float64)).numpy()
+    got = np.asarray(out, np.float64)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 5e-5
+
+
+def test_expm_small_norm_no_squaring(grid122):
+    import numpy as np
+    import torch
+
+    from capital_tpu import linalg
+    from capital_tpu.algs import cholinv
+
+    n = 128
+    rng = np.random.default_rng(32)
+    a_np = rng.standard_normal((n, n)) * 0.05  # norm << theta13
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    out = linalg.expm(grid122, a,
+                      cfg=cholinv.Config(min_bc=64, base_method="xla"))
+    want = torch.matrix_exp(torch.tensor(a_np, dtype=torch.float64)).numpy()
+    assert np.linalg.norm(np.asarray(out, np.float64) - want) \
+        / np.linalg.norm(want) < 2e-6
