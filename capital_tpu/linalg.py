@@ -133,25 +133,49 @@ def cond(grid: Grid, a, cfg=None, layout: str = "auto"):
     return (s[0] / s[-1]).astype(jnp.float32)
 
 
-def spd_sqrt(grid: Grid, a, cfg=None, inverse: bool = False):
-    """Principal square root A^{1/2} (or inverse square root A^{-1/2}) of
-    an SPD matrix via the distributed eigensolver: V f(Λ) V^T. The
-    whitening/preconditioning primitive (e.g. ZCA) the factor stack
-    enables."""
+def funm_spd(grid: Grid, a, fn, cfg=None, clamp_min: float = 0.0):
+    """f(A) = V f(Λ) V^T for symmetric A via the distributed eigensolver
+    (the generic spectral-function primitive; `fn` maps the eigenvalue
+    vector elementwise, in f32). Eigenvalues are clamped to >= clamp_min
+    first — pass -inf to disable (indefinite operands with an fn defined
+    on the whole line)."""
     from capital_tpu.algs import eigh as _eigh
 
     a = _arr(a)
     cfg = cfg or _eigh.Config()
     w, v = _eigh.eigh(grid, a, cfg)
-    w = jnp.maximum(w.astype(jnp.float32), 0.0)
-    f = jax.lax.rsqrt(jnp.maximum(w, jnp.finfo(jnp.float32).tiny)) \
-        if inverse else jnp.sqrt(w)
+    w = jnp.maximum(w.astype(jnp.float32), clamp_min)
+    f = fn(w)
     vf = grid.constrain(v * f.astype(a.dtype)[None, :], grid.slice_spec)
     vt = summa.transpose(grid, v, impl="gspmd")
     out = summa.gemm(grid, vf, vt, impl="gspmd")
     # exact symmetry (the product is symmetric up to rounding)
     outT = summa.transpose(grid, out, impl="gspmd")
     return grid.constrain(0.5 * (out + outT), grid.slice_spec)
+
+
+def spd_sqrt(grid: Grid, a, cfg=None, inverse: bool = False):
+    """Principal square root A^{1/2} (or inverse square root A^{-1/2}) of
+    an SPD matrix: funm_spd with f = sqrt / rsqrt. The whitening/
+    preconditioning primitive (e.g. ZCA) the factor stack enables."""
+    tiny = jnp.finfo(jnp.float32).tiny
+    fn = ((lambda w: jax.lax.rsqrt(jnp.maximum(w, tiny))) if inverse
+          else jnp.sqrt)
+    return funm_spd(grid, a, fn, cfg=cfg)
+
+
+def logm_spd(grid: Grid, a, cfg=None):
+    """Principal matrix logarithm of an SPD matrix (funm_spd with log)."""
+    tiny = jnp.finfo(jnp.float32).tiny
+    return funm_spd(grid, a, lambda w: jnp.log(jnp.maximum(w, tiny)),
+                    cfg=cfg)
+
+
+def powm_spd(grid: Grid, a, p: float, cfg=None):
+    """A^p for SPD A and real p (funm_spd with the real power)."""
+    tiny = jnp.finfo(jnp.float32).tiny
+    return funm_spd(grid, a, lambda w: jnp.power(jnp.maximum(w, tiny), p),
+                    cfg=cfg)
 
 
 def solve(grid: Grid, a, b, method: str = "auto", refine: int = 2,

@@ -314,3 +314,29 @@ def test_expm_small_norm_no_squaring(grid122):
     want = torch.matrix_exp(torch.tensor(a_np, dtype=torch.float64)).numpy()
     assert np.linalg.norm(np.asarray(out, np.float64) - want) \
         / np.linalg.norm(want) < 2e-6
+
+
+def test_logm_powm_spd(grid122):
+    import numpy as np
+
+    from capital_tpu import linalg
+    from capital_tpu.algs import cholinv, eigh, polar
+
+    n = 192
+    rng = np.random.default_rng(33)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = np.geomspace(0.5, 3.0, n)
+    a_np = (q * w) @ q.T
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    chol = cholinv.Config(min_bc=64, base_method="xla")
+    ecfg = eigh.Config(base_n=128,
+                       polar=polar.Config(compute_h=False, chol=chol))
+
+    lg = np.asarray(linalg.logm_spd(grid122, a, cfg=ecfg), np.float64)
+    want = (q * np.log(w)) @ q.T
+    assert np.linalg.norm(lg - want) / np.linalg.norm(want) < 5e-5
+
+    p3 = np.asarray(linalg.powm_spd(grid122, a, 0.25, cfg=ecfg), np.float64)
+    wantp = (q * w**0.25) @ q.T
+    assert np.linalg.norm(p3 - wantp) / np.linalg.norm(wantp) < 5e-5
