@@ -228,13 +228,19 @@ def _orthonormalize_2d(grid: Grid, y, chol_cfg: _cholinv.Config):
     q = _embed(grid, y, npad, 1.0)
     eps = float(jnp.finfo(y.dtype).eps)
     for p in range(3):
-        gram = summa.syrk(grid, q, impl=impl)
-        if p == 0:
-            shift = (20.0 * eps * jnp.trace(gram.astype(jnp.float32))
-                     ).astype(gram.dtype)
-            gram = gram + shift * jnp.eye(npad, dtype=gram.dtype)
-            gram = grid.constrain(gram, _spec(grid))
-        _, rinv = _cholinv.factor(grid, gram, chol_cfg)
+        # The Gram + Cholesky chain is the conditioning-critical part:
+        # at ambient 'high'/'default' matmul precision its coarser
+        # rounding NaNs the pass-1 factorization of the heavy-tailed
+        # splitting operand (measured at n=8192), so pin it to HIGHEST;
+        # the O(n^3) trmm application below keeps the ambient speed.
+        with jax.default_matmul_precision("highest"):
+            gram = summa.syrk(grid, q, impl=impl)
+            if p == 0:
+                shift = (20.0 * eps * jnp.trace(gram.astype(jnp.float32))
+                         ).astype(gram.dtype)
+                gram = gram + shift * jnp.eye(npad, dtype=gram.dtype)
+                gram = grid.constrain(gram, _spec(grid))
+            _, rinv = _cholinv.factor(grid, gram, chol_cfg)
         q = summa.trmm(grid, rinv, q, side="R", uplo="U", impl=impl)
     if npad != n:
         q = q[:n, :n]

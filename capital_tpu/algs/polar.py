@@ -136,6 +136,29 @@ def qdwh_weights(l0: float, dtype, max_iter: int | None = None):
     return out
 
 
+def _gram_eps(dtype) -> float:
+    """Effective rounding unit of a Gram computed at the ACTIVE matmul
+    precision: the sCQR shift must cover the Gram's error, which for f32
+    storage depends on the MXU pass count (HIGHEST ~ f32 eps; HIGH's
+    3-pass bf16 lowering is ~8x coarser; DEFAULT is bf16 eps). Too small
+    a shift NaNs the pass-1 Cholesky at tight l0 (measured: n=8192 sign
+    at HIGH with 20*eps_f32*(1+c) — every split NaN'd and the eigensolver
+    silently fell back to the replicated dense base)."""
+    eps = float(jnp.finfo(dtype).eps)
+    if dtype == jnp.float32:
+        from jax import lax as _lax
+
+        from capital_tpu.ops.pallas_dot import canonicalize
+        from capital_tpu.ops.precision import prec
+
+        p = canonicalize(prec())
+        if p == _lax.Precision.HIGH:
+            eps *= 8.0
+        elif p == _lax.Precision.DEFAULT:
+            eps = float(jnp.finfo(jnp.bfloat16).eps)
+    return eps
+
+
 def _halley_step_2d(grid: Grid, x, a, b, c, chol_cfg):
     """X <- (b/c) X + (a - b/c) X (I + c X^T X)^{-1}, slice-sharded."""
     n = x.shape[1]
@@ -166,7 +189,7 @@ def _cqr2_step_2d(grid: Grid, x, a, b, c, chol_cfg):
     # stack's identity block keeps sigma_min >= 1, so the shifted pass-1
     # factor has cond ~ sqrt(delta) = O(sqrt(eps*c)) and pass 2 restores
     # orthonormality of the TRUE stack to working accuracy.
-    delta = 20.0 * float(jnp.finfo(x.dtype).eps) * (1.0 + c)
+    delta = 20.0 * _gram_eps(x.dtype) * (1.0 + c)
     eye = grid.constrain(jnp.eye(n, dtype=x.dtype), grid.slice_spec)
     z = summa.syrk(grid, x, c=eye, alpha=c, beta=1.0 + delta, impl=impl)
     _, r1inv = _cholinv.factor(grid, z, chol_cfg)
@@ -231,7 +254,7 @@ def _cqr2_step_1d(grid: Grid, x, a, b, c, cfg: Config):
     row_spec = P(ALL_AXES, None)
     # pass 1: the stack's Gram IS Z = I + c X^T X (+ the sCQR shift, see
     # _cqr2_step_2d)
-    delta = 20.0 * float(jnp.finfo(x.dtype).eps) * (1.0 + c)
+    delta = 20.0 * _gram_eps(x.dtype) * (1.0 + c)
     _, r1inv = _zsolve_1d(grid, x, c, cfg, delta=delta)
     q2 = jnp.triu(r1inv)
 

@@ -187,11 +187,21 @@ def sweep_eigh(grid: Grid, a, space: dict | None = None,
                                                          "highest")):
                 fn = lambda x, cfg=cfg: eigh.eigh(grid, x, cfg)  # noqa: E731
                 with tracing.trace() as t:
-                    fn(a)
+                    w, v = fn(a)
                 tot = t.totals()
                 cand.costs = {"gflop": tot.flops / 1e9,
                               "ici_mib": tot.comm_bytes / 2**20,
                               "msgs": tot.msgs}
+                # quality column: a candidate that silently degrades (e.g.
+                # falls back to the dense base after failed splits) must
+                # not win on time alone
+                import numpy as np
+
+                a64 = np.asarray(a, np.float64)
+                v64 = np.asarray(v, np.float64)
+                cand.costs["residual"] = float(
+                    np.linalg.norm(a64 @ v64 - v64 * np.asarray(
+                        w, np.float64)) / np.linalg.norm(a64))
                 cand.model_time_s = t.model_time(flops_per_s=3.3e13,
                                                  ici_bytes_per_s=9e10)
                 cand.time_s = _measure(lambda: fn, (a,), num_iter)
