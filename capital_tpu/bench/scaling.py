@@ -26,7 +26,7 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser(description="mesh-shape scaling sweep")
     p.add_argument("--alg", default="cholinv",
-                   choices=["cholinv", "cacqr", "summa"])
+                   choices=["cholinv", "cacqr", "summa", "polar"])
     p.add_argument("--n", type=int, default=1024)
     p.add_argument("--m", type=int, default=1 << 16)
     p.add_argument("--weak", action="store_true",
@@ -77,6 +77,22 @@ def main(argv=None):
             cfg = cacqr.Config(num_iter=2, base_method="xla")
             fn = jax.jit(lambda x: cacqr.factor_1d(grid, x, cfg))
             flops = 2 * (4 * m * args.n**2 + 2 * args.n**3 / 3)
+            arg = a
+        elif args.alg == "polar":
+            # spectral-layer scaling proxy: the QDWH sweep is the dominant
+            # cost of eigh/svd and is one traced program (polar_jit)
+            from capital_tpu.algs import cholinv as _ci
+            from capital_tpu.algs import polar as _polar
+            n = args.n * scale
+            a = matrix.rand(grid, n, n, jax.random.key(0)).data
+            pcfg = _polar.Config(
+                compute_h=False,
+                chol=_ci.Config(min_bc=128, base_method="xla",
+                                summa_impl="shard_map"))
+            fn = jax.jit(lambda x: _polar.polar(grid, x, pcfg, layout="2d"))
+            iters = len(_polar.qdwh_weights(
+                pcfg.resolve_l0(jnp.float32), jnp.float32, pcfg.max_iter))
+            flops = iters * 5 * n**3
             arg = a
         else:
             from capital_tpu.parallel import summa
