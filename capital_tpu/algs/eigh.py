@@ -66,6 +66,8 @@ class Config:
     base_n:      blocks at or below this are solved replicated by the local
                  dense eigensolver (every device redundantly — the
                  ReplicateCommComp placement, ref: policy.h:160-224).
+                 None -> platform default: 2048 on TPU (the measured
+                 D&C-vs-dense crossover, BENCH_LOCAL.md), 256 elsewhere.
     shift_tries: bisection safeguard steps when a shift lands outside the
                  spectrum (each retry costs one polar — rare in practice).
     cluster_rel: blocks whose Gershgorin interval is narrower than
@@ -96,7 +98,7 @@ class Config:
                  structure.hpp:80-85).
     """
 
-    base_n: int = 256
+    base_n: int | None = None
     shift_tries: int = 4
     cluster_rel: float | None = None
     min_split: float = 0.05
@@ -115,6 +117,19 @@ class Config:
         if self.cluster_rel is not None:
             return float(self.cluster_rel)
         return 40.0 * float(jnp.finfo(dtype).eps)
+
+    def resolve_base_n(self, grid: Grid) -> int:
+        if self.base_n is not None:
+            return int(self.base_n)
+        return 2048 if grid.platform in ("tpu", "axon") else 256
+
+    def resolved(self, grid: Grid) -> "Config":
+        """Config with base_n pinned to its platform value."""
+        import dataclasses
+
+        if self.base_n is not None:
+            return self
+        return dataclasses.replace(self, base_n=self.resolve_base_n(grid))
 
     def sign_polar_cfg(self, dtype) -> _polar.Config:
         """The polar config for sign(A - sigma I): cfg.polar with l0
@@ -428,6 +443,7 @@ def eigh(grid: Grid, a, cfg: Config = Config()):
     n = a.shape[0]
     if a.shape != (n, n):
         raise ValueError(f"eigh needs a square matrix, got {a.shape}")
+    cfg = cfg.resolved(grid)
     key = jax.random.key(cfg.seed)
     with tracing.phase("EIG::dnc"):
         esz = jnp.dtype(a.dtype).itemsize

@@ -69,7 +69,7 @@ def svd(grid: Grid, a, cfg: Config = Config(), layout: str = "auto"):
     with tracing.phase("SVD::polar"):
         up, h = _polar.polar_jit(grid, a, cfg.polar, layout=layout)
     with tracing.phase("SVD::eigh"):
-        if layout == "1d" or n <= cfg.eig.base_n:
+        if layout == "1d" or n <= cfg.eig.resolve_base_n(grid):
             # n x n H: replicated base solve when small, else re-shard onto
             # the slice for the distributed eigensolver
             h2 = grid.constrain(h, grid.slice_spec)
