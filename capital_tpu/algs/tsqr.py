@@ -72,10 +72,15 @@ def factor(grid: Grid, a, cfg: Config = Config()):
     )
 
     def kern(a_blk):
-        q0, r0 = jnp.linalg.qr(a_blk, mode="reduced")
-        # one all_gather of the D small R factors (axis 0 stacks them)
-        r_stack = lax.all_gather(r0, ALL_AXES, axis=0, tiled=True)
-        q1, r = jnp.linalg.qr(r_stack, mode="reduced")
+        # pin the Householder updates' gemms to f32-faithful passes: at
+        # the TPU default (1-pass bf16) the factor's orthogonality lands
+        # at 5e-5 instead of eps (measured 2^19 x 512) — defeating the
+        # whole point of the stable QR
+        with jax.default_matmul_precision("highest"):
+            q0, r0 = jnp.linalg.qr(a_blk, mode="reduced")
+            # one all_gather of the D small R factors (axis 0 stacks them)
+            r_stack = lax.all_gather(r0, ALL_AXES, axis=0, tiled=True)
+            q1, r = jnp.linalg.qr(r_stack, mode="reduced")
         if cfg.canonical:
             s = jnp.where(jnp.diagonal(r) < 0, -1.0, 1.0).astype(r.dtype)
             r = r * s[:, None]
@@ -83,8 +88,10 @@ def factor(grid: Grid, a, cfg: Config = Config()):
         # this device's n-row slab of the level-1 Q
         idx = lax.axis_index(ALL_AXES)
         q1_i = lax.dynamic_slice_in_dim(q1, idx * n, n, axis=0)
+        from capital_tpu.ops.precision import dot as _pdot
+
         acc = jnp.promote_types(a_blk.dtype, jnp.float32)
-        q = jnp.dot(q0, q1_i, preferred_element_type=acc)
+        q = _pdot(q0, q1_i, preferred_element_type=acc)
         return q.astype(a_blk.dtype), jnp.triu(r)
 
     f = jax.shard_map(

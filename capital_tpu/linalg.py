@@ -338,7 +338,7 @@ def nearest_psd(grid: Grid, a, cfg=None):
 
 
 def lstsq(grid: Grid, a, b, cfg: cacqr.Config | None = None,
-          refine: int = 0):
+          refine: int = 0, method: str = "cqr2"):
     """min ||A x - b||_2 for tall-skinny A ((m, n) row-sharded over the full
     mesh, m >> n; b (m, k) sharded likewise). x is (n, k) replicated.
 
@@ -346,13 +346,24 @@ def lstsq(grid: Grid, a, b, cfg: cacqr.Config | None = None,
     x = R^{-1} Q^T b — the Q^T b product is one psum over the mesh
     (apply_QT, which the reference left unimplemented).
 
+    method: 'cqr2' (CholeskyQR2 — the fast MXU path, cond(A) <= ~1e5 f32)
+    or 'tsqr' (Householder tree QR, algs/tsqr.py — unconditionally
+    stable; use for ill-conditioned design matrices).
+
     refine: iterative-refinement sweeps on the normal-equations residual:
         x <- x + R^{-1} Q^T (b - A x), residual gemm pinned to HIGHEST.
     Each sweep is two mnk-class products (row-local; one psum for Q^T r) —
     cheap next to the 4mn² factorization for k << n."""
     a, b = _arr(a), _arr(b)
     cfg = cfg or cacqr.Config(num_iter=2)
-    q, r = cacqr.factor_1d(grid, a, cfg)
+    if method == "tsqr":
+        from capital_tpu.algs import tsqr as _tsqr
+
+        q, r = _tsqr.factor(grid, a)
+    elif method == "cqr2":
+        q, r = cacqr.factor_1d(grid, a, cfg)
+    else:
+        raise ValueError(f"unknown lstsq method {method!r}")
 
     def solve_r(rhs):
         # R is small and replicated — local triangular solve

@@ -340,3 +340,24 @@ def test_logm_powm_spd(grid122):
     p3 = np.asarray(linalg.powm_spd(grid122, a, 0.25, cfg=ecfg), np.float64)
     wantp = (q * w**0.25) @ q.T
     assert np.linalg.norm(p3 - wantp) / np.linalg.norm(wantp) < 5e-5
+
+
+def test_lstsq_tsqr_illconditioned(grid1d8):
+    import numpy as np
+
+    from capital_tpu import linalg
+
+    m, n, k = 2048, 64, 4
+    rng = np.random.default_rng(41)
+    u, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a_np = (u * np.geomspace(1.0, 1e-6, n)) @ v.T  # cond 1e6: CQR2 dies
+    x_true = rng.standard_normal((n, k))
+    b_np = a_np @ x_true
+    a = jax.device_put(np.asarray(a_np, np.float32), grid1d8.row1d)
+    b = jax.device_put(np.asarray(b_np, np.float32), grid1d8.row1d)
+    x = linalg.lstsq(grid1d8, a, b, method="tsqr")
+    # backward residual is the stable contract at this conditioning
+    res = np.linalg.norm(a_np @ np.asarray(x, np.float64) - b_np) \
+        / np.linalg.norm(b_np)
+    assert res < 1e-5, res
