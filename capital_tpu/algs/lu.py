@@ -1,0 +1,251 @@
+"""Distributed LU factorization with partial pivoting (blocked right-looking,
+communication-avoiding panel schedule).
+
+The reference has NO general (non-SPD) direct factorization: its inverse
+family is a Newton iteration that does not compile (ref: src/alg/inverse/
+newton/newton.h:16-18) and a half-implemented triangular inverse (ref:
+src/alg/inverse/rectri/rectri.hpp:61-100), and its TRSM is a stub (ref:
+src/alg/trsm/diaginvert/diaginvert.hpp:9). This module completes the dense
+direct-solver family the library's own README positions it in ("matrix
+factorization library", ref: README.md:1-2): P A = L U with partial
+pivoting, the one factorization that handles general square systems.
+
+Schedule — the same communication shape as cholinv (ref: the recursive
+elimination of src/alg/cholesky/cholinv/cholinv.hpp:87-165), specialized to
+panels because pivoting serializes the panel order:
+
+    for each nb-wide panel k (trace-time unrolled, like cholinv's recursion):
+      1. PANEL:  factor W[off:, off:off+nb] with partial pivoting. The tall
+         panel is REPLICATED (one all-gather) and every chip factors it
+         redundantly — the cholinv REPLICATED base-case policy (ref:
+         policy.h:160-224) applied to the panel. This is the TPU answer to
+         CALU's tournament pivoting: tournament pivoting exists to avoid
+         O(nb) small messages on the panel's critical path; replicating the
+         skinny panel removes those messages entirely (one gather, zero
+         per-pivot traffic) while keeping the EXACT partial-pivoting
+         ordering (tournament pivoting only approximates it).
+      2. SWAP:   apply the panel's composed row permutation to the trailing
+         columns and the L-history columns (a gather of the affected rows —
+         the laswp of LAPACK's getrf, one collective-free resharded take).
+      3. U-ROW:  U[k, k+nb:] = L_kk^{-1} W[k, k+nb:] — nb x nb replicated
+         trtri + one row-panel multiply (the TRSM step of cholinv,
+         ref: cholinv.hpp:116-123, with the inverse-multiply trick).
+      4. SCHUR:  W[mid:, mid:] -= L[mid:, k] @ U[k, mid:] — one summa gemm,
+         the dominant-flop rank-nb update (ref: the SYRK Schur update,
+         cholinv.hpp:131-134, unsymmetric here).
+
+    L, U live IN the workspace (unit diagonal of L implicit), exactly like
+    cholinv's in-place R (the reference's in-place overwrite discipline,
+    cholinv.hpp:87-165): each panel's factors overwrite the A entries they
+    eliminated, so peak memory is one n^2 buffer plus the panel band.
+
+All collectives ride the summa engine; the permutation gathers are
+resharding takes XLA lowers to ICI all-to-alls on a mesh. jit-traceable,
+grid-agnostic (1 device to c x d x d meshes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from capital_tpu import tracing
+from capital_tpu.grid import Grid
+from capital_tpu.matrix import DistMatrix
+from capital_tpu.ops import lapack
+from capital_tpu.parallel import summa
+
+
+@dataclass(frozen=True)
+class Config:
+    """nb: panel width. Large panels amortize the replicated-panel
+    factorization and the permutation gathers (each touches the full
+    trailing width once per panel); small panels shrink the redundant
+    replicated flops m*nb^2. The single-chip sweep (bench/lu.py --sweep)
+    puts the knee at 1024-2048 for n >= 8192.
+
+    summa_impl / summa_chunks / summa_throttle: the Schur-update engine
+    knobs, same axis set as cholinv.Config."""
+
+    nb: int = 1024
+    summa_impl: str = "shard_map"
+    summa_chunks: int = 1
+    summa_throttle: bool = False
+
+    def panel(self, grid: Grid, n: int) -> int:
+        """Largest panel <= nb dividing n with d | nb and d*c | nb (the
+        Schur gemm contracts over the panel width)."""
+        nb = min(self.nb, n)
+        step = grid.d * grid.c
+        while nb > step and (n % nb or nb % step):
+            nb -= step if nb % step == 0 else nb % step
+        if n % nb:
+            nb = n
+        return nb
+
+
+def _panel_lu(grid: Grid, panel):
+    """Replicated tall-skinny panel LU with partial pivoting: one
+    all-gather (the sharding constraint), then every chip runs XLA's
+    blocked getrf identically — the REPLICATED placement policy of
+    cholinv's base case (ref: policy.h:160-224) on a panel operand.
+    Returns (lu, perm, pivots); lu rows are already permuted.
+
+    The getrf's INTERNAL dots must follow the framework precision policy
+    (ops/precision.py): on TPU, XLA's blocked lu would otherwise run its
+    trailing updates at 1-pass bf16 (measured 4e-2-class residuals on a
+    v5e at DEFAULT vs 5e-6 at f32-faithful)."""
+    rep = grid.constrain(panel, P(None, None))
+    from capital_tpu.ops.precision import prec
+
+    if rep.dtype == jnp.bfloat16:
+        lu_pan, pivots, perm = lax.linalg.lu(rep.astype(jnp.float32))
+        lu_pan = lu_pan.astype(jnp.bfloat16)
+    else:
+        p = prec()
+        p = p.name.lower() if hasattr(p, "name") else str(p).lower()
+        with jax.default_matmul_precision(p):
+            lu_pan, pivots, perm = lax.linalg.lu(rep)
+    return lu_pan, perm, pivots
+
+
+def factor(grid: Grid, a, cfg: Config = Config()):
+    """P A = L U. Returns (w, perm, sign):
+
+      w:    the workspace whose strict lower triangle is L (unit diagonal
+            implicit) and upper triangle is U, sharded P('y','x');
+      perm: (n,) int32 — row i of L@U is row perm[i] of A;
+      sign: the permutation's sign (for det/slogdet).
+    """
+    if isinstance(a, DistMatrix):
+        a = a.data
+    w = a
+    n = w.shape[0]
+    nb = cfg.panel(grid, n)
+    num_p = n // nb
+    kw = dict(impl=cfg.summa_impl, num_chunks=cfg.summa_chunks,
+              throttle=cfg.summa_throttle)
+
+    perm = jnp.arange(n, dtype=jnp.int32)
+    sign = jnp.ones((), dtype=w.dtype)
+    esz = w.dtype.itemsize
+    p_dev = max(grid.num_devices, 1)
+
+    for k in range(num_p):
+        off, mid = k * nb, (k + 1) * nb
+        m_k = n - off
+        n2 = n - mid
+
+        # 1. replicated panel factorization (phase names follow the
+        # cholinv -DALGORITHMIC_SYMBOLS convention, ref: cholinv.hpp:94-136)
+        with tracing.phase("LU::panel"):
+            tracing.record(
+                "lu.panel",
+                flops=m_k * nb * nb,  # replicated on every chip
+                comm_bytes=tracing.all_gather_bytes(
+                    m_k * nb * esz / p_dev, p_dev),
+                msgs=1,
+            )
+            panel = lax.slice(w, (off, off), (n, mid))
+            lu_pan, pperm, pivots = _panel_lu(grid, panel)
+            w = lax.dynamic_update_slice(
+                w, grid.constrain(lu_pan, grid.slice_spec), (off, off))
+
+        # permutation bookkeeping: compose into the global perm and track
+        # the sign from the pivot sequence (pivots[i] != i <=> one swap)
+        seg = lax.dynamic_slice_in_dim(perm, off, m_k)
+        perm = lax.dynamic_update_slice_in_dim(
+            perm, jnp.take(seg, pperm, axis=0), off, 0)
+        swaps = jnp.sum(pivots != jnp.arange(pivots.shape[0]))
+        sign = sign * jnp.where(swaps % 2 == 0, 1.0, -1.0).astype(sign.dtype)
+
+        # 2. apply the panel permutation to the L-history and trailing
+        # columns (LAPACK's laswp; a take on the row-sharded workspace)
+        with tracing.phase("LU::swap"):
+            tracing.record(
+                "lu.swap",
+                comm_bytes=2.0 * m_k * (n - nb) * esz / p_dev, msgs=1)
+            if off > 0:
+                hist = lax.slice(w, (off, 0), (n, off))
+                hist = grid.constrain(jnp.take(hist, pperm, axis=0),
+                                      grid.slice_spec)
+                w = lax.dynamic_update_slice(w, hist, (off, 0))
+            if n2 > 0:
+                trail = lax.slice(w, (off, mid), (n, n))
+                trail = grid.constrain(jnp.take(trail, pperm, axis=0),
+                                       grid.slice_spec)
+                w = lax.dynamic_update_slice(w, trail, (off, mid))
+
+        if n2 == 0:
+            break
+
+        # 3. U row panel: U_k = L_kk^{-1} W[off:mid, mid:] (the TRSM step,
+        # ref: cholinv.hpp:116-123 — inverse-multiply form)
+        with tracing.phase("LU::trsm"):
+            l_kk = jnp.tril(lu_pan[:nb], -1) + jnp.eye(nb, dtype=w.dtype)
+            l_inv = lapack.trtri(l_kk, lower=True)
+            l_inv = grid.constrain(l_inv, grid.slice_spec)
+            u_row = summa.gemm(
+                grid, l_inv, lax.slice(w, (off, mid), (mid, n)), **kw)
+            w = lax.dynamic_update_slice(w, u_row, (off, mid))
+
+        # 4. Schur update: one rank-nb summa gemm (the dominant flops,
+        # ref: the Schur SYRK of cholinv.hpp:131-134, unsymmetric here)
+        with tracing.phase("LU::schur"):
+            l_below = lax.slice(w, (mid, off), (n, mid))
+            a22 = lax.slice(w, (mid, mid), (n, n))
+            s = summa.gemm(grid, l_below, u_row, c=a22, alpha=-1.0,
+                           beta=1.0, **kw)
+            w = lax.dynamic_update_slice(w, s, (mid, mid))
+        w = grid.constrain(w, grid.slice_spec)
+
+    return grid.constrain(w, grid.slice_spec), perm, sign
+
+
+def unpack(w):
+    """Dense (L, U) from the packed workspace (masked exports, same shape
+    discipline as cholinv.construct_R, ref: cholinv.hpp:30-46)."""
+    n = w.shape[0]
+    l = jnp.tril(w, -1) + jnp.eye(n, dtype=w.dtype)
+    u = jnp.triu(w)
+    return l, u
+
+
+def solve_factored(grid: Grid, w, perm, b, trsm_cfg=None):
+    """x = U^{-1} L^{-1} P b via the diaginvert TRSM engine (block
+    substitution, each panel update a summa gemm — algs/trsm.py)."""
+    from capital_tpu.algs import trsm
+
+    if isinstance(b, DistMatrix):
+        b = b.data
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]
+    cfg = trsm_cfg or trsm.Config()
+    l, u = unpack(w)
+    pb = grid.constrain(jnp.take(b, perm, axis=0), grid.slice_spec)
+    y = trsm.solve(grid, l, pb, side="L", lower=True, cfg=cfg)
+    x = trsm.solve(grid, u, y, side="L", lower=False, cfg=cfg)
+    return x[:, 0] if vec else x
+
+
+def solve(grid: Grid, a, b, cfg: Config = Config(), trsm_cfg=None):
+    """General square solve A x = b by P A = L U + two triangular
+    substitutions."""
+    w, perm, _ = factor(grid, a, cfg)
+    return solve_factored(grid, w, perm, b, trsm_cfg=trsm_cfg)
+
+
+def slogdet(grid: Grid, a, cfg: Config = Config()):
+    """(sign, log|det A|) from the U diagonal and the permutation sign —
+    the general-matrix completion of linalg.slogdet_spd."""
+    if isinstance(a, DistMatrix):
+        a = a.data
+    w, _, psign = factor(grid, a, cfg)
+    d = jnp.diagonal(w)
+    sign = psign * jnp.prod(jnp.sign(d))
+    return sign, jnp.sum(jnp.log(jnp.abs(d)))

@@ -1,0 +1,86 @@
+"""LU bench driver: P A = L U with partial pivoting (algs/lu.py — the
+general-matrix factorization the reference lacks; driver lifecycle follows
+the reference's bench shape, ref: bench/cholesky/cholinv.cpp:8-71).
+
+    python -m capital_tpu.bench.lu --n 16384 --nb 2048
+    python -m capital_tpu.bench.lu --n 8192 --sweep      # panel-width knee
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from capital_tpu import tracing
+from capital_tpu.algs import lu
+from capital_tpu.bench.common import (apply_precision, base_parser, report,
+                                      timed_loop)
+from capital_tpu.grid import Grid
+
+
+def main(argv=None):
+    p = base_parser("LU factorization with partial pivoting")
+    p.add_argument("--n", type=int, default=8192)
+    p.add_argument("--nb", type=int, default=1024, help="panel width")
+    p.add_argument("--summa-impl", default="shard_map",
+                   choices=["shard_map", "ring", "gspmd"])
+    p.add_argument("--solve-k", type=int, default=0,
+                   help="also time a k-column solve off the factorization")
+    p.add_argument("--sweep", action="store_true",
+                   help="sweep panel widths instead of one config")
+    args = p.parse_args(argv)
+    apply_precision(args)
+
+    ndev = len(jax.devices())
+    d = max(dd for dd in range(1, int(math.isqrt(ndev // args.c)) + 1)
+            if args.c * dd * dd <= ndev)
+    grid = Grid.square(c=args.c, d=d, devices=jax.devices()[: args.c * d * d],
+                       layout=args.layout)
+
+    dtype = jnp.dtype(args.dtype)
+    n = args.n
+    a = jax.random.normal(jax.random.key(0), (n, n), dtype=dtype)
+    a = grid.constrain(a, grid.slice_spec)
+    flops = 2.0 * n**3 / 3.0
+
+    nbs = ([256, 512, 1024, 2048, 4096] if args.sweep else [args.nb])
+    for nb in nbs:
+        if nb > n:
+            continue
+        cfg = lu.Config(nb=nb, summa_impl=args.summa_impl)
+        fn = jax.jit(lambda x, _cfg=cfg: lu.factor(grid, x, _cfg))
+        secs, _, (w, perm, sign) = timed_loop(fn, (a,), args.num_iter)
+        extra = {"nb": nb, "dtype": args.dtype, "precision": args.precision,
+                 "devices": grid.num_devices}
+        if not args.no_validate:
+            l, u = lu.unpack(w)
+            pa = jnp.take(a, perm, axis=0)
+            num = jnp.linalg.norm(pa - l @ u)
+            extra["residual"] = f"{float(num / jnp.linalg.norm(a)):.3e}"
+        report(f"lu_n{n}", secs=secs, flops=flops, extra=extra,
+               as_json=args.json)
+
+    if args.solve_k:
+        b = jax.random.normal(jax.random.key(1), (n, args.solve_k),
+                              dtype=dtype)
+        sf = jax.jit(lambda ww, pp, bb: lu.solve_factored(grid, ww, pp, bb))
+        secs, _, x = timed_loop(sf, (w, perm, b), args.num_iter)
+        extra = {"k": args.solve_k}
+        if not args.no_validate:
+            res = jnp.linalg.norm(a @ x - b) / jnp.linalg.norm(b)
+            extra["solve_residual"] = f"{float(res):.3e}"
+        report(f"lu_solve_n{n}", secs=secs,
+               flops=2.0 * n * n * args.solve_k, extra=extra,
+               as_json=args.json)
+
+    if args.costs:
+        with tracing.trace() as t:
+            jax.eval_shape(lambda x: lu.factor(grid, x, lu.Config(
+                nb=nbs[-1], summa_impl=args.summa_impl)), a)
+        print(t.report())
+
+
+if __name__ == "__main__":
+    main()

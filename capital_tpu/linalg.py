@@ -184,10 +184,7 @@ def solve(grid: Grid, a, b, method: str = "auto", refine: int = 2,
 
     The reference factors only SPD (cholinv) and tall-skinny (cacqr)
     operands; a general solver is the natural completion, built
-    TPU-natively from the same engines — no pivoted LU (partial pivoting
-    is a sequential, gather-heavy schedule XLA cannot tile; the
-    communication-avoiding literature replaces it with exactly these
-    QR/polar-based routes):
+    TPU-natively from the same engines:
 
     method='normal' (default for `auto`): factor the SPD Gram A^T A with
         cholinv and refine on the TRUE residual,
@@ -196,6 +193,13 @@ def solve(grid: Grid, a, b, method: str = "auto", refine: int = 2,
         gemms per sweep. Stable while cond(A)^2 * eps_factor < 1 (f32
         HIGHEST factor: cond(A) up to ~1e3; each sweep contracts the
         error by ~cond^2 * eps).
+    method='lu': P A = L U with EXACT partial pivoting (algs/lu.py:
+        replicated-panel factorization + summa Schur updates — the
+        pivoting's per-row message traffic, the reason CALU invented
+        tournament pivoting, vanishes when the skinny panel is replicated)
+        + two TRSM substitutions + refinement sweeps. 2n^3/3 flops, the
+        backward-stable general route; cond-robust where the normal
+        equations square the conditioning.
     method='polar': A = U H (QDWH), x = H^{-1} (U^T b) via spd_solve on
         the polar factor — cond(H) = cond(A), so this holds to
         cond ~ 1e5-class f32 at ~6x the normal-equation cost.
@@ -215,6 +219,16 @@ def solve(grid: Grid, a, b, method: str = "auto", refine: int = 2,
         utb = summa.gemm(grid, summa.transpose(grid, u, impl=impl), b,
                          impl=impl)
         return spd_solve(grid, h, utb, cfg=cfg, refine=refine)
+    if method == "lu":
+        from capital_tpu.algs import lu as _lu
+
+        w, perm, _ = _lu.factor(grid, a, _lu.Config(summa_impl=impl))
+        x = _lu.solve_factored(grid, w, perm, b)
+        for _ in range(refine):
+            with jax.default_matmul_precision("highest"):
+                res = b - summa.gemm(grid, a, x, impl=impl)
+            x = x + _lu.solve_factored(grid, w, perm, res)
+        return x
     if method != "normal":
         raise ValueError(f"unknown solve method {method!r}")
 
