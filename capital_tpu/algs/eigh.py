@@ -397,6 +397,164 @@ def _solve_block(grid: Grid, a, cfg: Config, scale: float, key):
     return _base_eigh(grid, a)
 
 
+def count_above(grid: Grid, a, sigma: float, cfg: Config = Config()):
+    """Number of eigenvalues of symmetric A strictly above sigma — spectrum
+    slicing via one sign function: k = (n + trace(sign(A - sigma I))) / 2.
+
+    One QDWH polar of cost O(n^3) (the same engine as a single eigh level);
+    the building block behind eigh_partial's bisection. The reference has no
+    spectral capability at all; this is the counting primitive of the
+    QDWH-eig literature (Nakatsukasa & Higham 2013, sec. 3)."""
+    if isinstance(a, DistMatrix):
+        a = a.data
+    cfg = cfg.resolved(grid)
+    _, tr = _stage_sign(grid, a, jnp.float32(sigma), cfg)
+    n = a.shape[0]
+    return max(0, min(n, int(round((n + float(tr)) / 2.0))))
+
+
+def eigvalsh(grid: Grid, a, cfg: Config = Config()):
+    """Eigenvalues only (ascending). The cross-split eigenvector correction
+    is skipped — it moves eigenVECTOR residuals only, never the values —
+    so this is the cheapest full-spectrum call."""
+    import dataclasses
+
+    w, _ = eigh(grid, a, dataclasses.replace(cfg, correct_splits=False))
+    return w
+
+
+def _out_spec(grid: Grid, k: int) -> P:
+    """Layout of an (n, k) eigenvector panel: keep the slice layout when k
+    divides the column axis; otherwise shard rows only (k is user-chosen —
+    any value is legal)."""
+    return _spec(grid) if k % grid.d2 == 0 else P("y", None)
+
+
+@partial(jax.jit, static_argnames=("grid", "m", "k"))
+def _partial_glue(grid: Grid, v, v1, order, m: int, k: int):
+    """X = (V[:, :m] @ V1)[:, order] — jitted so the data-dependent m/k
+    shapes go through GSPMD's padding instead of eager divisibility
+    checks."""
+    x = summa.gemm(grid, v[:, :m], v1, impl="gspmd")
+    return grid.constrain(jnp.take(x, order, axis=1), _out_spec(grid, k))
+
+
+def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
+                 which: str = "top"):
+    """k extremal eigenpairs without solving the full spectrum.
+
+    Returns (w (k,) ascending, X (n, k) slice-sharded, columns matching w).
+    which='top' gives the k algebraically largest eigenpairs, 'bottom' the
+    k smallest.
+
+    Schedule — ONE level of the spectral divide-and-conquer, stopped early:
+      1. bisect sigma on the Gershgorin interval until the sign-function
+         count m = #{lambda > sigma} lands in [k, ~2k] (each probe is one
+         QDWH sign, the same cost as an eigh level's step 2 — counts are
+         monotone in sigma so bisection converges; clustered spectra that
+         plateau fall back to the closest m >= k seen);
+      2. split once (the eigh machinery's CholeskyQR2 rotation) and recurse
+         ONLY into the m x m invariant block that contains the wanted
+         eigenvalues — the (n-m)-sized complement, which full eigh would
+         solve to the bottom, is never touched;
+      3. glue X = V[:, :m] @ V_child and keep the top (bottom) k columns.
+
+    Cost: ~(probes + 1) sign functions + one CQR2 split + an m-sized child
+    solve — for k << n this is a small multiple of ONE eigh level instead
+    of the full log-depth recursion, and the peak live set never exceeds
+    one level's. The committed split coupling (<= off_tol * ||A||_F, the
+    same acceptance test as eigh) is the eigenpair-residual floor; the
+    cross-split correction does not apply (the complement's eigenbasis is
+    deliberately never computed).
+    """
+    if isinstance(a, DistMatrix):
+        a = a.data
+    n = a.shape[0]
+    if a.shape != (n, n):
+        raise ValueError(f"eigh_partial needs a square matrix, got {a.shape}")
+    if not 1 <= k <= n:
+        raise ValueError(f"need 1 <= k <= n, got k={k}, n={n}")
+    if which == "bottom":
+        # bottom-k of A = top-k of -A with values negated (vectors shared)
+        w, x = eigh_partial(grid, grid.constrain(-a, _spec(grid)), k, cfg,
+                            which="top")
+        return -w[::-1], grid.constrain(x[:, ::-1], _out_spec(grid, k))
+    if which != "top":
+        raise ValueError(f"which must be 'top' or 'bottom', got {which!r}")
+    cfg = cfg.resolved(grid)
+    if k == n or n <= cfg.base_n:
+        w, v = (eigh(grid, a, cfg) if n > cfg.base_n
+                else _base_eigh(grid, a))
+        return w[-k:], grid.constrain(v[:, -k:], _out_spec(grid, k))
+
+    key = jax.random.key(cfg.seed)
+    scale = float(jnp.linalg.norm(a.astype(jnp.float32))) or 1.0
+    d, lo, hi = _diag_and_bounds(grid, a)
+    lo_b, hi_b = float(lo), float(hi)
+    m_max = min(n - 1, max(2 * k, k + 64))
+    tries = max(8, 2 * cfg.shift_tries)
+
+    best = None  # (m, sigma, u) with the smallest m >= k seen
+    sigma = 0.5 * (lo_b + hi_b)
+    for _ in range(tries):
+        u, tr = _stage_sign(grid, a, jnp.float32(sigma), cfg)
+        tr_f = float(tr)
+        if not math.isfinite(tr_f):
+            sigma = sigma + 1e-3 * (hi_b - lo_b or 1.0)
+            continue
+        m = max(0, min(n, int(round((n + tr_f) / 2.0))))
+        _dbg(f"partial n={n} k={k} sigma={sigma:.6g} count={m}")
+        if k <= m and (best is None or m < best[0]):
+            best = (m, sigma, u)
+        if k <= m <= m_max:
+            break
+        # counts decrease as sigma increases
+        if m > m_max:
+            lo_b = sigma
+        else:  # m < k
+            hi_b = sigma
+        if hi_b - lo_b <= 0:
+            break
+        sigma = 0.5 * (lo_b + hi_b)
+    if best is None:
+        # clustered top of the spectrum defeated the bisection entirely:
+        # correct (if slow) fallback — full solve, slice the top k
+        w, v = eigh(grid, a, cfg)
+        return w[-k:], grid.constrain(v[:, -k:], _out_spec(grid, k))
+
+    m, sigma, u = best
+    tracing.record(
+        "eigh_partial",
+        flops=18.0 * n**3 / grid.num_devices,
+        comm_bytes=8 * tracing.psum_bytes(
+            n * n * jnp.dtype(a.dtype).itemsize, grid.num_devices),
+        msgs=8,
+    )
+    for attempt in range(cfg.shift_tries + 1):
+        key, kchild, ksplit = jax.random.split(key, 3)
+        b11, _, v, _, off = _stage_split(grid, a, u, ksplit, cfg, m)
+        off_f = float(off)
+        if math.isfinite(off_f) and off_f <= cfg.off_tol * scale:
+            break
+        # leaked split (sigma numerically inside a cluster): nudge and
+        # re-probe the sign
+        sigma = sigma + max(0.1 * (float(hi) - sigma),
+                            1e-3 * (float(hi) - float(lo)))
+        u_new, tr = _stage_sign(grid, a, jnp.float32(sigma), cfg)
+        m_new = max(0, min(n, int(round((n + float(tr)) / 2.0))))
+        if not (k <= m_new < n):
+            continue  # nudged past the k-th eigenvalue: retry the old sign
+        u, m = u_new, m_new
+    else:
+        w, v = eigh(grid, a, cfg)
+        return w[-k:], grid.constrain(v[:, -k:], _out_spec(grid, k))
+
+    w1, v1 = _solve_block(grid, b11, cfg, scale, kchild)
+    order = np.argsort(np.asarray(w1, np.float64), kind="stable")[-k:]
+    w = jnp.asarray(np.asarray(w1)[order])
+    return w, _partial_glue(grid, v, v1, jnp.asarray(order), m, k)
+
+
 def eigh_gen(grid: Grid, a, b, cfg: Config = Config()):
     """Generalized symmetric-definite eigenproblem A x = lambda B x
     (A symmetric, B SPD, both (n, n) slice-sharded).

@@ -154,6 +154,38 @@ def sweep_cacqr(grid: Grid, a, space: dict | None = None,
     return out
 
 
+def sweep_lu(grid: Grid, a, space: dict | None = None,
+             num_iter: int = 2) -> list[Candidate]:
+    """Sweep the LU panel width + Schur-engine knobs (algs/lu.py — the
+    general-solver completion; no reference counterpart, same harness
+    shape as sweep_cholinv)."""
+    from capital_tpu.algs import lu
+
+    space = space or {
+        "nb": [512, 1024, 2048],
+        "summa_impl": (["gspmd"] if grid.num_devices == 1
+                       else ["shard_map", "ring"]),
+        "precision": ["highest", "high"],
+    }
+    out = []
+    keys = list(space)
+    for vals in itertools.product(*(space[k] for k in keys)):
+        params = dict(zip(keys, vals))
+        cand = Candidate(params=params)
+        try:
+            cfg_params = {k: v for k, v in params.items() if k != "precision"}
+            cfg = lu.Config(**cfg_params)
+            with jax.default_matmul_precision(params.get("precision",
+                                                         "highest")):
+                fn = jax.jit(lambda x, cfg=cfg: lu.factor(grid, x, cfg))
+                cand.costs, cand.model_time_s = _trace_costs(fn, (a,))
+                cand.time_s = _measure(lambda: fn, (a,), num_iter)
+        except Exception as e:
+            cand.error = f"{type(e).__name__}: {e}"
+        out.append(cand)
+    return out
+
+
 def sweep_eigh(grid: Grid, a, space: dict | None = None,
                num_iter: int = 1) -> list[Candidate]:
     """Sweep the divide-and-conquer eigensolver's knobs (no reference
@@ -261,6 +293,13 @@ def sweep_grids(alg: str = "cholinv", n: int = 4096, m: int = 1 << 18,
             a = matrix.symmetric(grid, n, jax.random.key(0),
                                  diag_shift=0.0, align=128).data
             cands = sweep_eigh(grid, a, space, num_iter=num_iter)
+        elif alg == "lu":
+            if kind != "square":
+                continue  # LU's slice layout wants a square grid
+            a = matrix.rand(grid, n, n, jax.random.key(0),
+                            row_tile=128 * grid.d1,
+                            col_tile=128 * grid.d2).data
+            cands = sweep_lu(grid, a, space, num_iter=num_iter)
         else:
             a = matrix.tall_skinny(grid, m, n, jax.random.key(0)).data
             cands = sweep_cacqr(grid, a, space, num_iter=num_iter)
@@ -334,7 +373,7 @@ def main(argv=None):
 
     p = argparse.ArgumentParser(description="autotune cholinv / cacqr / eigh")
     p.add_argument("--alg", default="cholinv",
-                   choices=["cholinv", "cacqr", "eigh"])
+                   choices=["cholinv", "cacqr", "eigh", "lu"])
     p.add_argument("--n", type=int, default=4096)
     p.add_argument("--m", type=int, default=1 << 18)
     p.add_argument("--num-iter", type=int, default=2)
@@ -343,9 +382,12 @@ def main(argv=None):
                    help="'sweep' = mesh-shape sweep over all feasible "
                         "grids (the rep_factor axis); 'square:C:D'; "
                         "'rect:C'; 'auto' = sweep when >1 device visible")
+    p.add_argument("--cpu", action="store_true",
+                   help="sweep on the virtual CPU mesh (the multi-device "
+                        "fake backend) even when an accelerator is visible")
     args = p.parse_args(argv)
 
-    devs = jax.devices()
+    devs = jax.devices("cpu") if args.cpu else jax.devices()
     gspec = args.grid
     if gspec == "auto":
         gspec = "sweep" if len(devs) > 1 else "square:1:1"
@@ -371,6 +413,11 @@ def main(argv=None):
             a = matrix.symmetric(grid, args.n, jax.random.key(0),
                                  diag_shift=0.0, align=128).data
             cands = sweep_eigh(grid, a, num_iter=args.num_iter)
+        elif args.alg == "lu":
+            a = matrix.rand(grid, args.n, args.n, jax.random.key(0),
+                            row_tile=128 * grid.d1,
+                            col_tile=128 * grid.d2).data
+            cands = sweep_lu(grid, a, num_iter=args.num_iter)
         else:
             a = matrix.tall_skinny(grid, args.m, args.n,
                                    jax.random.key(0)).data

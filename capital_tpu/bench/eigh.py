@@ -23,10 +23,14 @@ from capital_tpu.grid import Grid
 
 def main(argv=None):
     p = base_parser("QDWH spectral solvers (eigh / svd)")
-    p.add_argument("--op", default="eigh", choices=["eigh", "svd"])
+    p.add_argument("--op", default="eigh", choices=["eigh", "svd", "partial"])
     p.add_argument("--n", type=int, default=4096)
     p.add_argument("--m", type=int, default=None,
                    help="rows for --op svd (default: n, square)")
+    p.add_argument("--k", type=int, default=256,
+                   help="eigenpair count for --op partial")
+    p.add_argument("--which", default="top", choices=["top", "bottom"],
+                   help="spectrum end for --op partial")
     p.add_argument("--base-n", type=int, default=1024,
                    help="replicated dense base-case size")
     p.add_argument("--summa-impl", default="gspmd",
@@ -54,13 +58,17 @@ def main(argv=None):
         base_n=args.base_n,
         polar=polar.Config(compute_h=False, chol=chol_cfg))
 
-    if args.op == "eigh":
+    if args.op in ("eigh", "partial"):
         # spread (Wigner-class) spectrum: the honest D&C workload — a
         # diagonally dominant operand would shortcut through the cluster
         # early-out
         a = matrix.symmetric(grid, n, jax.random.key(0), dtype=dtype,
                              diag_shift=0.0, align=128).data
-        fn = lambda x: eigh.eigh(grid, x, ecfg)  # noqa: E731
+        if args.op == "partial":
+            fn = lambda x: eigh.eigh_partial(  # noqa: E731
+                grid, x, args.k, ecfg, which=args.which)
+        else:
+            fn = lambda x: eigh.eigh(grid, x, ecfg)  # noqa: E731
         oracle = jnp.linalg.eigh
     else:
         m = args.m or n
@@ -75,17 +83,21 @@ def main(argv=None):
     extra = {"n": n, "grid": grid.shape, "base_n": args.base_n}
     if args.op == "svd":
         extra["m"] = args.m or n
+    if args.op == "partial":
+        extra["k"] = args.k
+        extra["which"] = args.which
     if not args.no_validate:
-        if args.op == "eigh":
+        if args.op in ("eigh", "partial"):
             w, v = out
             v64 = np.asarray(v, np.float64)
             a64 = np.asarray(a, np.float64)
             scale = np.linalg.norm(a64)
+            kk = v64.shape[1]
             extra["residual"] = float(
                 np.linalg.norm(a64 @ v64 - v64 * np.asarray(w, np.float64))
                 / scale)
             extra["orthogonality"] = float(
-                np.linalg.norm(v64.T @ v64 - np.eye(n)) / np.sqrt(n))
+                np.linalg.norm(v64.T @ v64 - np.eye(kk)) / np.sqrt(kk))
         else:
             u, s, v = out
             u64, v64 = np.asarray(u, np.float64), np.asarray(v, np.float64)

@@ -146,3 +146,67 @@ def test_eigh_generalized(grid122):
     # generalized eigenpair residual
     res = np.linalg.norm(a_np @ x64 - (b_np @ x64) * np.asarray(w, np.float64))
     assert res / np.linalg.norm(a_np) < 1e-3
+
+
+def test_eigh_partial_top(grid122):
+    """Top-k eigenpairs against the numpy oracle: values, eigenpair
+    residual, orthonormal columns."""
+    n, k = 384, 32
+    a_np = _sym(n, np.linspace(-2.0, 2.0, n), seed=6)
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    w, x = eigh.eigh_partial(grid122, a, k, _cfg(), which="top")
+    w64 = np.asarray(w, np.float64)
+    x64 = np.asarray(x, np.float64)
+    assert w64.shape == (k,) and x64.shape == (n, k)
+    w_true = np.linalg.eigvalsh(a_np)[-k:]
+    scale = np.linalg.norm(a_np)
+    assert np.all(np.diff(w64) >= -1e-6 * scale)
+    assert np.abs(w64 - w_true).max() < 3e-5 * scale
+    res = np.linalg.norm(a_np @ x64 - x64 * w64) / scale
+    assert res < 2e-4, res
+    og = np.linalg.norm(x64.T @ x64 - np.eye(k))
+    assert og < 1e-5, og
+
+
+def test_eigh_partial_bottom(grid122):
+    n, k = 320, 24  # unaligned n: embedding path
+    a_np = _sym(n, np.linspace(0.1, 5.0, n), seed=7)
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    w, x = eigh.eigh_partial(grid122, a, k, _cfg(), which="bottom")
+    w_true = np.linalg.eigvalsh(a_np)[:k]
+    scale = np.linalg.norm(a_np)
+    w64 = np.asarray(w, np.float64)
+    assert np.all(np.diff(w64) >= -1e-6 * scale)
+    assert np.abs(w64 - w_true).max() < 3e-5 * scale
+    x64 = np.asarray(x, np.float64)
+    res = np.linalg.norm(a_np @ x64 - x64 * w64) / scale
+    assert res < 2e-4, res
+
+
+def test_eigh_partial_k_equals_n_and_validation(grid122):
+    n = 192
+    a_np = _sym(n, np.linspace(1.0, 2.0, n), seed=8)
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    w, x = eigh.eigh_partial(grid122, a, n, _cfg(base_n=64))
+    assert np.asarray(w).shape == (n,)
+    with pytest.raises(ValueError):
+        eigh.eigh_partial(grid122, a, 0)
+    with pytest.raises(ValueError):
+        eigh.eigh_partial(grid122, a, 4, which="middle")
+
+
+def test_count_above_and_eigvalsh(grid122):
+    n = 256
+    a_np = _sym(n, np.linspace(-1.0, 1.0, n), seed=10)
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(grid122.slice_spec))
+    w_true = np.linalg.eigvalsh(a_np)
+    # sigma between two well-separated interior eigenvalues
+    sigma = 0.5 * (w_true[200] + w_true[201])
+    assert eigh.count_above(grid122, a, float(sigma), _cfg()) == n - 201
+    w = eigh.eigvalsh(grid122, a, _cfg())
+    assert np.abs(np.asarray(w, np.float64) - w_true).max() \
+        < 3e-5 * np.linalg.norm(a_np)
