@@ -109,6 +109,12 @@ class Config:
     # ~15% extra flops per level. On by default; the knob exists for
     # apples-to-apples ablation.
     correct_splits: bool = True
+    # eigh_partial: residual-augmented Rayleigh-Ritz sweeps after the
+    # child solve (_rr_refine) — O(n^2 k) gemms that recover the split
+    # coupling the one-sided extraction cannot otherwise correct (the full
+    # solver's cross-split correction needs the complement's eigenbasis,
+    # which partial never computes).
+    partial_refine: int = 1
     polar: _polar.Config = field(
         default_factory=lambda: _polar.Config(compute_h=False))
     seed: int = 7
@@ -430,6 +436,82 @@ def _out_spec(grid: Grid, k: int) -> P:
     return _spec(grid) if k % grid.d2 == 0 else P("y", None)
 
 
+@partial(jax.jit, static_argnames=("grid", "k"))
+def _stage_rr_grams(grid: Grid, a, x, k: int):
+    """Device half of one residual-augmented Rayleigh-Ritz sweep: build the
+    basis B = [X, R/||r_i||] with R = AX - X(X^T AX) the orthogonal-
+    complement residual (exactly the leaked coupling the accepted split
+    discarded), and return (G = B^T B, T = B^T A B, B). All O(n^2 k)
+    gemms — trivial next to the O(n^3) sign functions."""
+    acc = jnp.promote_types(a.dtype, jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        y = jnp.matmul(a, x, preferred_element_type=acc)
+        t0 = jnp.matmul(x.astype(acc).T, y, preferred_element_type=acc)
+        r = y - jnp.matmul(x.astype(acc), t0, preferred_element_type=acc)
+        cn = jnp.sqrt(jnp.sum(jnp.square(r), axis=0))
+        rn = (r / jnp.maximum(cn, jnp.finfo(acc).tiny)[None, :]).astype(
+            a.dtype)
+        b = grid.constrain(jnp.concatenate([x, rn], axis=1), P("y", None))
+        ab = jnp.matmul(a, b, preferred_element_type=acc)
+        g = jnp.matmul(b.astype(acc).T, b.astype(acc),
+                       preferred_element_type=acc)
+        t = jnp.matmul(b.astype(acc).T, ab, preferred_element_type=acc)
+    return (grid.constrain(g, P(None, None)),
+            grid.constrain(0.5 * (t + t.T), P(None, None)), b)
+
+
+@partial(jax.jit, static_argnames=("grid", "k"))
+def _stage_rr_apply(grid: Grid, b, coef, k: int):
+    acc = jnp.promote_types(b.dtype, jnp.float32)
+    xk = jnp.matmul(b, coef.astype(b.dtype),
+                    preferred_element_type=acc).astype(b.dtype)
+    return grid.constrain(xk, _out_spec(grid, k))
+
+
+def _rr_refine(grid: Grid, a, x, k: int):
+    """One residual-augmented Rayleigh-Ritz sweep: re-extract the top k
+    Ritz pairs of A from span[X, residual]. The small (2k x 2k) projected
+    problem is solved on the host in f64 with explicit whitening + rank
+    truncation — the basis is rank-deficient BY CONSTRUCTION whenever X is
+    already near-invariant (the residual columns vanish), so a Cholesky
+    orthonormalization would NaN exactly in the converged case; the
+    whitened solve degrades gracefully to reproducing X instead.
+    Returns (w ascending (k,), X (n, k))."""
+    g_dev, t_dev, b = _stage_rr_grams(grid, a, x, k)
+    g = np.asarray(g_dev, np.float64)
+    t = np.asarray(t_dev, np.float64)
+    s, wv = np.linalg.eigh((g + g.T) / 2)
+    tol = 2 * k * float(np.finfo(np.float32).eps) * max(float(s.max()), 1.0)
+    r_rank = max(int((s > tol).sum()), k)
+    idx = np.argsort(s)[-r_rank:]
+    bw = wv[:, idx] / np.sqrt(s[idx])
+    w2, u2 = np.linalg.eigh(bw.T @ t @ bw)
+    coef = jnp.asarray(bw @ u2[:, -k:], x.dtype)
+    return (jnp.asarray(w2[-k:].astype(np.float32)),
+            _stage_rr_apply(grid, b, coef, k))
+
+
+def _sigma_quantile(grid: Grid, a, frac_above: float,
+                    lo: float, hi: float) -> float:
+    """Initial shift with ~frac_above of the spectrum above it, from the
+    first two spectral moments (trace A = sum lambda, ||A||_F^2 = sum
+    lambda^2 — both one cheap reduction) and a Gaussian quantile model of
+    the spectral density. Crude, but it starts the bisection INSIDE the
+    spectrum near the wanted edge — the Gershgorin midpoint can sit far
+    outside it (row-sum radii are loose), costing several O(n^3) sign
+    probes just to find the spectrum."""
+    import statistics
+
+    n = a.shape[0]
+    a32 = a.astype(jnp.float32)
+    mu = float(jnp.trace(a32)) / n
+    msq = float(jnp.sum(jnp.square(a32))) / n
+    s = math.sqrt(max(msq - mu * mu, 1e-30))
+    z = statistics.NormalDist().inv_cdf(min(max(1.0 - frac_above, 1e-6),
+                                            1.0 - 1e-6))
+    return min(max(mu + s * z, lo), hi)
+
+
 @partial(jax.jit, static_argnames=("grid", "m", "k"))
 def _partial_glue(grid: Grid, v, v1, order, m: int, k: int):
     """X = (V[:, :m] @ V1)[:, order] — jitted so the data-dependent m/k
@@ -491,11 +573,14 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
     scale = float(jnp.linalg.norm(a.astype(jnp.float32))) or 1.0
     d, lo, hi = _diag_and_bounds(grid, a)
     lo_b, hi_b = float(lo), float(hi)
-    m_max = min(n - 1, max(2 * k, k + 64))
+    # wide accept window: every extra probe is an O(n^3) sign function,
+    # while the child block solve is cheap up to a few k — trading window
+    # tightness for probes is heavily one-sided
+    m_max = min(n - 1, max(4 * k, k + 128))
     tries = max(8, 2 * cfg.shift_tries)
 
     best = None  # (m, sigma, u) with the smallest m >= k seen
-    sigma = 0.5 * (lo_b + hi_b)
+    sigma = _sigma_quantile(grid, a, min(2.0 * k, 0.5 * n) / n, lo_b, hi_b)
     for _ in range(tries):
         u, tr = _stage_sign(grid, a, jnp.float32(sigma), cfg)
         tr_f = float(tr)
@@ -552,7 +637,10 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
     w1, v1 = _solve_block(grid, b11, cfg, scale, kchild)
     order = np.argsort(np.asarray(w1, np.float64), kind="stable")[-k:]
     w = jnp.asarray(np.asarray(w1)[order])
-    return w, _partial_glue(grid, v, v1, jnp.asarray(order), m, k)
+    x = _partial_glue(grid, v, v1, jnp.asarray(order), m, k)
+    for _ in range(cfg.partial_refine):
+        w, x = _rr_refine(grid, a, x, k)
+    return w, x
 
 
 def eigh_gen(grid: Grid, a, b, cfg: Config = Config()):

@@ -100,8 +100,16 @@ def svd(grid: Grid, a, cfg: Config = Config(), layout: str = "auto"):
 
 def singular_values(grid: Grid, a, cfg: Config = Config(),
                     layout: str = "auto"):
-    """s(A) descending, without forming U (skips the final rotation gemm
-    and the polar H-symmetrization's transpose when layout is '1d')."""
-    u, s, v = svd(grid, a, cfg, layout)
-    del u, v
-    return s
+    """s(A) descending without forming U or V: s = eig(H) from the polar
+    factor, solved values-only (eigh.eigvalsh — no rotation gemm, no
+    cross-split vector corrections)."""
+    if isinstance(a, DistMatrix):
+        a = a.data
+    layout = _polar._resolve_layout(grid, a, layout)
+    with tracing.phase("SVD::polar"):
+        _, h = _polar.polar_jit(grid, a, cfg.polar, layout=layout)
+    with tracing.phase("SVD::eigh"):
+        w = _eigh.eigvalsh(grid, grid.constrain(h, grid.slice_spec), cfg.eig)
+    n = a.shape[1]
+    order = jnp.asarray(np.arange(n - 1, -1, -1))
+    return jnp.maximum(jnp.take(w, order), 0.0).astype(a.dtype)

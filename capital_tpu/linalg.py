@@ -123,8 +123,8 @@ def pinv(grid: Grid, a, rcond: float | None = None, cfg=None,
 
 def cond(grid: Grid, a, cfg=None, layout: str = "auto"):
     """Spectral condition number s_max / s_min via QDWH-SVD singular
-    values (U/V still formed — the factors are the cost of the accurate
-    spectrum; for estimates use tracing's analytic model instead)."""
+    values (values-only path: no U/V rotation gemm, no eigenvector
+    corrections — svd.singular_values)."""
     from capital_tpu.algs import svd as _svd
 
     a = _arr(a)
