@@ -437,12 +437,11 @@ def _out_spec(grid: Grid, k: int) -> P:
 
 
 @partial(jax.jit, static_argnames=("grid", "k"))
-def _stage_rr_grams(grid: Grid, a, x, k: int):
-    """Device half of one residual-augmented Rayleigh-Ritz sweep: build the
-    basis B = [X, R/||r_i||] with R = AX - X(X^T AX) the orthogonal-
-    complement residual (exactly the leaked coupling the accepted split
-    discarded), and return (G = B^T B, T = B^T A B, B). All O(n^2 k)
-    gemms — trivial next to the O(n^3) sign functions."""
+def _stage_rr_basis(grid: Grid, a, x, k: int):
+    """Device step 1 of a residual-augmented Rayleigh-Ritz sweep: the
+    (n, 2k) basis candidate B = [X, R/||r_i||] with R = AX - X(X^T AX)
+    the orthogonal-complement residual — exactly the leaked coupling the
+    accepted split discarded. O(n^2 k) gemms."""
     acc = jnp.promote_types(a.dtype, jnp.float32)
     with jax.default_matmul_precision("highest"):
         y = jnp.matmul(a, x, preferred_element_type=acc)
@@ -451,55 +450,77 @@ def _stage_rr_grams(grid: Grid, a, x, k: int):
         cn = jnp.sqrt(jnp.sum(jnp.square(r), axis=0))
         rn = (r / jnp.maximum(cn, jnp.finfo(acc).tiny)[None, :]).astype(
             a.dtype)
-        b = grid.constrain(jnp.concatenate([x, rn], axis=1), P("y", None))
-        ab = jnp.matmul(a, b, preferred_element_type=acc)
-        g = jnp.matmul(b.astype(acc).T, b.astype(acc),
-                       preferred_element_type=acc)
-        t = jnp.matmul(b.astype(acc).T, ab, preferred_element_type=acc)
-    return (grid.constrain(g, P(None, None)),
-            grid.constrain(0.5 * (t + t.T), P(None, None)), b)
+    return grid.constrain(jnp.concatenate([x, rn], axis=1),
+                          P(("z", "y", "x"), None))
+
+
+@partial(jax.jit, static_argnames=("grid",))
+def _stage_rr_project(grid: Grid, a, q):
+    """T = Q^T A Q (2k x 2k, replicated)."""
+    acc = jnp.promote_types(a.dtype, jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        z = jnp.matmul(a, q, preferred_element_type=acc)
+        t = jnp.matmul(q.astype(acc).T, z, preferred_element_type=acc)
+    return grid.constrain(0.5 * (t + t.T), P(None, None))
 
 
 @partial(jax.jit, static_argnames=("grid", "k"))
-def _stage_rr_apply(grid: Grid, b, coef, k: int):
-    acc = jnp.promote_types(b.dtype, jnp.float32)
-    xk = jnp.matmul(b, coef.astype(b.dtype),
-                    preferred_element_type=acc).astype(b.dtype)
+def _stage_rr_apply(grid: Grid, q, coef, k: int):
+    acc = jnp.promote_types(q.dtype, jnp.float32)
+    xk = jnp.matmul(q, coef.astype(q.dtype),
+                    preferred_element_type=acc).astype(q.dtype)
     return grid.constrain(xk, _out_spec(grid, k))
 
 
 def _rr_refine(grid: Grid, a, x, k: int):
     """One residual-augmented Rayleigh-Ritz sweep: re-extract the top k
-    Ritz pairs of A from span[X, residual]. The small (2k x 2k) projected
-    problem is solved on the host in f64 with explicit whitening + rank
-    truncation — the basis is rank-deficient BY CONSTRUCTION whenever X is
-    already near-invariant (the residual columns vanish), so a Cholesky
-    orthonormalization would NaN exactly in the converged case; the
-    whitened solve degrades gracefully to reproducing X instead.
+    Ritz pairs of A from span[X, residual].
+
+    The basis is orthonormalized by HOUSEHOLDER QR (TSQR when the mesh
+    allows, replicated jnp.linalg.qr otherwise) — the basis is rank-
+    deficient BY CONSTRUCTION whenever X is near-invariant (residual
+    columns are then pure noise), which a Gram-based orthonormalization
+    cannot survive: Cholesky NaNs on the singular Gram, and whitening the
+    measured f32 Gram amplifies its O(sqrt(n) eps) noise by 1/s_min —
+    measured 2.5e-3 orthogonality at n=16384 k=256 before this was
+    switched to Householder. Cost: O(n k^2) — trivial next to the O(n^3)
+    signs. The projected (2k x 2k) problem is solved on the host in f64.
     Returns (w ascending (k,), X (n, k))."""
-    g_dev, t_dev, b = _stage_rr_grams(grid, a, x, k)
-    g = np.asarray(g_dev, np.float64)
-    t = np.asarray(t_dev, np.float64)
-    s, wv = np.linalg.eigh((g + g.T) / 2)
-    tol = 2 * k * float(np.finfo(np.float32).eps) * max(float(s.max()), 1.0)
-    r_rank = max(int((s > tol).sum()), k)
-    idx = np.argsort(s)[-r_rank:]
-    bw = wv[:, idx] / np.sqrt(s[idx])
-    w2, u2 = np.linalg.eigh(bw.T @ t @ bw)
-    coef = jnp.asarray(bw @ u2[:, -k:], x.dtype)
+    from capital_tpu.algs import tsqr as _tsqr
+
+    b = _stage_rr_basis(grid, a, x, k)
+    n = b.shape[0]
+    if n // max(grid.num_devices, 1) >= b.shape[1]:
+        q, _ = _tsqr.factor(grid, b)
+    else:
+        q = _stage_rr_qr_replicated(grid, b)
+    t = np.asarray(_stage_rr_project(grid, a, q), np.float64)
+    w2, u2 = np.linalg.eigh(t)
+    coef = jnp.asarray(u2[:, -k:], x.dtype)
     return (jnp.asarray(w2[-k:].astype(np.float32)),
-            _stage_rr_apply(grid, b, coef, k))
+            _stage_rr_apply(grid, q, coef, k))
+
+
+@partial(jax.jit, static_argnames=("grid",))
+def _stage_rr_qr_replicated(grid: Grid, b):
+    """Replicated Householder QR fallback for meshes with fewer local rows
+    than basis columns."""
+    rep = grid.constrain(b, P(None, None))
+    with jax.default_matmul_precision("highest"):
+        q, _ = jnp.linalg.qr(rep, mode="reduced")
+    return grid.constrain(q, P(("z", "y", "x"), None))
 
 
 def _sigma_quantile(grid: Grid, a, frac_above: float,
-                    lo: float, hi: float) -> float:
-    """Initial shift with ~frac_above of the spectrum above it, from the
-    first two spectral moments (trace A = sum lambda, ||A||_F^2 = sum
-    lambda^2 — both one cheap reduction) and a Gaussian quantile model of
-    the spectral density. Crude, but it starts the bisection INSIDE the
-    spectrum near the wanted edge — the Gershgorin midpoint can sit far
-    outside it (row-sum radii are loose), costing several O(n^3) sign
-    probes just to find the spectrum."""
+                    lo: float, hi: float) -> tuple[float, float, float]:
+    """(sigma0, mu, s): initial shift with ~frac_above of the spectrum
+    above it, from the first two spectral moments (trace A = sum lambda,
+    ||A||_F^2 = sum lambda^2 — both one cheap reduction) and a Gaussian
+    quantile model of the spectral density. Crude, but it starts the
+    bisection INSIDE the spectrum near the wanted edge — the Gershgorin
+    midpoint can sit far outside it (row-sum radii are loose), costing
+    several O(n^3) sign probes just to find the spectrum. mu/s are
+    returned so the probe loop can reuse the model slope."""
     import statistics
 
     n = a.shape[0]
@@ -509,7 +530,7 @@ def _sigma_quantile(grid: Grid, a, frac_above: float,
     s = math.sqrt(max(msq - mu * mu, 1e-30))
     z = statistics.NormalDist().inv_cdf(min(max(1.0 - frac_above, 1e-6),
                                             1.0 - 1e-6))
-    return min(max(mu + s * z, lo), hi)
+    return min(max(mu + s * z, lo), hi), mu, s
 
 
 @partial(jax.jit, static_argnames=("grid", "m", "k"))
@@ -580,7 +601,9 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
     tries = max(8, 2 * cfg.shift_tries)
 
     best = None  # (m, sigma, u) with the smallest m >= k seen
-    sigma = _sigma_quantile(grid, a, min(2.0 * k, 0.5 * n) / n, lo_b, hi_b)
+    sigma, _, s_model = _sigma_quantile(grid, a, min(2.0 * k, 0.5 * n) / n,
+                                        lo_b, hi_b)
+    probes: list[tuple[float, int]] = []
     for _ in range(tries):
         u, tr = _stage_sign(grid, a, jnp.float32(sigma), cfg)
         tr_f = float(tr)
@@ -593,6 +616,7 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
             best = (m, sigma, u)
         if k <= m <= m_max:
             break
+        probes.append((sigma, m))
         # counts decrease as sigma increases
         if m > m_max:
             lo_b = sigma
@@ -600,7 +624,35 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
             hi_b = sigma
         if hi_b - lo_b <= 0:
             break
+        # z-space secant: each probe is an O(n^3) sign function, so spend
+        # host arithmetic to aim the next one. Counts map to Gaussian
+        # quantiles z(m) = Phi^-1(1 - m/n); the local spectral density
+        # makes sigma(z) nearly linear even where the global Gaussian
+        # model is wrong (e.g. semicircle edges), so a secant through the
+        # last two probes lands inside [k, m_max] in 1-2 steps where
+        # midpoint bisection from the (very loose) Gershgorin bracket
+        # needs many.
         sigma = 0.5 * (lo_b + hi_b)
+        import statistics
+
+        nd = statistics.NormalDist()
+
+        def zof(cnt: int) -> float:
+            return nd.inv_cdf(1.0 - min(max(cnt, 1), n - 1) / n)
+
+        beta = None
+        if len(probes) >= 2:
+            (s1, m1), (s2, m2) = probes[-2], probes[-1]
+            if zof(m2) != zof(m1):
+                b = (s2 - s1) / (zof(m2) - zof(m1))
+                beta = b if b > 0 else None
+        if beta is None and probes:
+            beta = s_model  # one probe: model slope through it
+        if beta is not None and probes:
+            s2, m2 = probes[-1]
+            prop = s2 + beta * (zof(2 * k) - zof(m2))
+            if lo_b < prop < hi_b:
+                sigma = prop
     if best is None:
         # clustered top of the spectrum defeated the bisection entirely:
         # correct (if slow) fallback — full solve, slice the top k
