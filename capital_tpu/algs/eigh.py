@@ -114,7 +114,7 @@ class Config:
     # coupling the one-sided extraction cannot otherwise correct (the full
     # solver's cross-split correction needs the complement's eigenbasis,
     # which partial never computes).
-    partial_refine: int = 1
+    partial_refine: int = 2
     polar: _polar.Config = field(
         default_factory=lambda: _polar.Config(compute_h=False))
     seed: int = 7
@@ -467,8 +467,12 @@ def _stage_rr_project(grid: Grid, a, q):
 @partial(jax.jit, static_argnames=("grid", "k"))
 def _stage_rr_apply(grid: Grid, q, coef, k: int):
     acc = jnp.promote_types(q.dtype, jnp.float32)
-    xk = jnp.matmul(q, coef.astype(q.dtype),
-                    preferred_element_type=acc).astype(q.dtype)
+    # highest: at the TPU ambient default (1-pass bf16) this rotation
+    # would put a 1e-3-class error on the refined vectors — undoing the
+    # whole sweep (measured on-chip before the pin)
+    with jax.default_matmul_precision("highest"):
+        xk = jnp.matmul(q, coef.astype(q.dtype),
+                        preferred_element_type=acc).astype(q.dtype)
     return grid.constrain(xk, _out_spec(grid, k))
 
 
@@ -590,22 +594,38 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
                 else _base_eigh(grid, a))
         return w[-k:], grid.constrain(v[:, -k:], _out_spec(grid, k))
 
+    # LOOSE sign resolution for the counting probes: a probe only needs
+    # the COUNT (a miscount of the few near-sigma eigenvalues just shifts
+    # m inside the wide accept window), and a loose l0 runs ~1/3 the QDWH
+    # iterations. Only the ONE sign that feeds the split is recomputed
+    # tight (below) — measured on-chip, loose splits leave 4e-4-class
+    # coupling that even the RR refinement cannot fully repair (the
+    # boundary columns' gaps are small), while tight splits + refinement
+    # reach 1e-6.
+    import dataclasses
+
+    cfg_probe = cfg
+    if cfg.partial_refine > 0 and cfg.sign_l0 is None:
+        loose = max(1e-5, 10.0 * float(jnp.finfo(a.dtype).eps))
+        cfg_probe = dataclasses.replace(cfg, sign_l0=loose)
+
     key = jax.random.key(cfg.seed)
     scale = float(jnp.linalg.norm(a.astype(jnp.float32))) or 1.0
     d, lo, hi = _diag_and_bounds(grid, a)
     lo_b, hi_b = float(lo), float(hi)
     # wide accept window: every extra probe is an O(n^3) sign function,
     # while the child block solve is cheap up to a few k — trading window
-    # tightness for probes is heavily one-sided
-    m_max = min(n - 1, max(4 * k, k + 128))
+    # tightness for probes is heavily one-sided (the child solve is
+    # replicated-dense up to base_n anyway)
+    m_max = min(max(n // 2, 1), max(6 * k, k + 128))
     tries = max(8, 2 * cfg.shift_tries)
 
     best = None  # (m, sigma, u) with the smallest m >= k seen
-    sigma, _, s_model = _sigma_quantile(grid, a, min(2.0 * k, 0.5 * n) / n,
+    sigma, _, s_model = _sigma_quantile(grid, a, min(3.0 * k, 0.5 * n) / n,
                                         lo_b, hi_b)
     probes: list[tuple[float, int]] = []
     for _ in range(tries):
-        u, tr = _stage_sign(grid, a, jnp.float32(sigma), cfg)
+        u, tr = _stage_sign(grid, a, jnp.float32(sigma), cfg_probe)
         tr_f = float(tr)
         if not math.isfinite(tr_f):
             sigma = sigma + 1e-3 * (hi_b - lo_b or 1.0)
@@ -660,6 +680,14 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
         return w[-k:], grid.constrain(v[:, -k:], _out_spec(grid, k))
 
     m, sigma, u = best
+    if cfg_probe is not cfg:
+        # recompute the accepted sign at the tight resolution for the
+        # split; its count can shift by the few near-sigma eigenvalues
+        u_t, tr_t = _stage_sign(grid, a, jnp.float32(sigma), cfg)
+        m_t = max(0, min(n, int(round((n + float(tr_t)) / 2.0))))
+        if k <= m_t < n:
+            u, m = u_t, m_t
+        _dbg(f"partial tight recount m={m_t}")
     tracing.record(
         "eigh_partial",
         flops=18.0 * n**3 / grid.num_devices,
@@ -667,11 +695,15 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
             n * n * jnp.dtype(a.dtype).itemsize, grid.num_devices),
         msgs=8,
     )
+    # with refinement on, a leakier split is acceptable: the RR sweeps
+    # repair first-order coupling, so only catastrophically failed splits
+    # (rank mismatch, NaN) are worth re-probing for
+    accept_tol = cfg.off_tol * (10.0 if cfg.partial_refine > 0 else 1.0)
     for attempt in range(cfg.shift_tries + 1):
         key, kchild, ksplit = jax.random.split(key, 3)
         b11, _, v, _, off = _stage_split(grid, a, u, ksplit, cfg, m)
         off_f = float(off)
-        if math.isfinite(off_f) and off_f <= cfg.off_tol * scale:
+        if math.isfinite(off_f) and off_f <= accept_tol * scale:
             break
         # leaked split (sigma numerically inside a cluster): nudge and
         # re-probe the sign
