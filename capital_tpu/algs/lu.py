@@ -88,6 +88,89 @@ class Config:
         return nb
 
 
+def _panel_lu_jax(panel, jb: int = 128):
+    """Blocked partial-pivoting LU of a replicated (m, nb) panel in pure
+    JAX — no LuDecompositionBlock custom call. XLA's getrf custom call
+    allocates scoped VMEM proportional to the panel HEIGHT (f32[m, 128]
+    work buffers) and overflows the v5e's 16-MB scoped limit at
+    m >= ~14k, killing n>=16384 factorizations outright; this routine
+    has no height-scaled VMEM footprint.
+
+    Schedule (LAPACK getrf's own shape): for each jb-wide sub-panel, a
+    fori_loop of jb pivot/scale/rank-1 elimination steps on the (m, jb)
+    slab (VPU work, swaps deferred to the slab), then one permutation
+    gather + one unit-lower triangular solve + one MXU gemm trailing
+    update for the remaining columns. EXACT partial pivoting — same
+    ordering as LAPACK up to |.|-ties.
+
+    Returns (lu (m, nb) row-permuted, perm (m,), pivots (nb,)) with
+    lax.linalg.lu's return convention."""
+    m, nb = panel.shape
+    acc = jnp.promote_types(panel.dtype, jnp.float32)
+    w = panel.astype(acc)
+    rows = jnp.arange(m, dtype=jnp.int32)
+    perm = jnp.arange(m, dtype=jnp.int32)
+    pivots = jnp.arange(nb, dtype=jnp.int32)
+
+    from capital_tpu.ops.precision import prec
+
+    p = prec()
+    pname = p.name.lower() if hasattr(p, "name") else str(p).lower()
+
+    for j in range(0, nb, jb):
+        jw = min(jb, nb - j)
+        sp = lax.slice(w, (0, j), (m, j + jw))
+        cols = jnp.arange(jw, dtype=jnp.int32)
+
+        def step(c, carry, j=j, jw=jw, cols=cols):
+            sp, pj, piv = carry
+            g = (j + c).astype(jnp.int32)
+            colv = lax.dynamic_slice(sp, (0, c), (m, 1))[:, 0]
+            cand = jnp.where(rows >= g, jnp.abs(colv), -jnp.inf)
+            p_ = jnp.argmax(cand).astype(jnp.int32)
+            # two-row swap via dynamic slices (O(jw) traffic; a full
+            # (m, jw) permutation gather per step would dominate the loop)
+            row_g = lax.dynamic_slice(sp, (g, 0), (1, jw))
+            row_p = lax.dynamic_slice(sp, (p_, 0), (1, jw))
+            sp = lax.dynamic_update_slice(sp, row_p, (g, 0))
+            sp = lax.dynamic_update_slice(sp, row_g, (p_, 0))
+            pj_g = lax.dynamic_slice(pj, (g,), (1,))
+            pj_p = lax.dynamic_slice(pj, (p_,), (1,))
+            pj = lax.dynamic_update_slice(pj, pj_p, (g,))
+            pj = lax.dynamic_update_slice(pj, pj_g, (p_,))
+            piv = lax.dynamic_update_slice(piv, p_[None], (g,))
+            colv = lax.dynamic_slice(sp, (0, c), (m, 1))[:, 0]
+            pivval = jnp.take(colv, g)
+            safe = jnp.where(pivval == 0, jnp.ones((), acc), pivval)
+            lcol = jnp.where(rows > g, colv / safe, colv)
+            sp = lax.dynamic_update_slice(sp, lcol[:, None], (0, c))
+            urow = lax.dynamic_slice(sp, (g, 0), (1, jw))[0]
+            urow = jnp.where(cols > c, urow, jnp.zeros((), acc))
+            lmask = jnp.where(rows > g, lcol, jnp.zeros((), acc))
+            return (sp - lmask[:, None] * urow[None, :], pj, piv)
+
+        sp, pj, pivots = lax.fori_loop(
+            0, jw, step, (sp, jnp.arange(m, dtype=jnp.int32), pivots))
+        # deferred row swaps for every other column (LAPACK's laswp),
+        # then write the factored slab back
+        w = jnp.take(w, pj, axis=0)
+        perm = jnp.take(perm, pj)
+        w = lax.dynamic_update_slice(w, sp, (0, j))
+        if j + jw < nb:
+            with jax.default_matmul_precision(pname):
+                l11 = sp[j:j + jw, :]
+                u12 = lax.linalg.triangular_solve(
+                    l11, lax.slice(w, (j, j + jw), (j + jw, nb)),
+                    left_side=True, lower=True, unit_diagonal=True)
+                w = lax.dynamic_update_slice(w, u12, (j, j + jw))
+                l21 = lax.slice(sp, (j + jw, 0), (m, jw))
+                trail = lax.slice(w, (j + jw, j + jw), (m, nb))
+                upd = trail - jnp.matmul(l21, u12,
+                                         preferred_element_type=acc)
+                w = lax.dynamic_update_slice(w, upd, (j + jw, j + jw))
+    return w.astype(panel.dtype), perm, pivots
+
+
 def _panel_lu(grid: Grid, panel):
     """Replicated tall-skinny panel LU with partial pivoting: one
     all-gather (the sharding constraint), then every chip runs XLA's
@@ -99,8 +182,22 @@ def _panel_lu(grid: Grid, panel):
     (ops/precision.py): on TPU, XLA's blocked lu would otherwise run its
     trailing updates at 1-pass bf16 (measured 4e-2-class residuals on a
     v5e at DEFAULT vs 5e-6 at f32-faithful)."""
+    import os
+
     rep = grid.constrain(panel, P(None, None))
     from capital_tpu.ops.precision import prec
+
+    # XLA's LuDecompositionBlock custom call scales its scoped-VMEM
+    # footprint with panel height and dies at m >= ~14k on a 16-MB v5e;
+    # panels taller than 8192 route to the pure-JAX blocked getrf
+    # (same pivoting; the 12288-row panel still requested 17.96M).
+    mode = os.environ.get("CAPITAL_LU_PANEL", "auto")
+    if mode == "jax" or (mode == "auto"
+                         and grid.platform in ("tpu", "axon")
+                         and rep.shape[0] > 8192):
+        x = rep.astype(jnp.float32) if rep.dtype == jnp.bfloat16 else rep
+        lu_pan, perm, pivots = _panel_lu_jax(x)
+        return lu_pan.astype(rep.dtype), perm, pivots
 
     if rep.dtype == jnp.bfloat16:
         lu_pan, pivots, perm = lax.linalg.lu(rep.astype(jnp.float32))

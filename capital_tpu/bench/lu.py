@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from capital_tpu import tracing
 from capital_tpu.algs import lu
+from capital_tpu.parallel import summa
 from capital_tpu.bench.common import (apply_precision, base_parser, report,
                                       timed_loop)
 from capital_tpu.grid import Grid
@@ -28,6 +29,11 @@ def main(argv=None):
                    choices=["shard_map", "ring", "gspmd"])
     p.add_argument("--solve-k", type=int, default=0,
                    help="also time a k-column solve off the factorization")
+    p.add_argument("--refine", type=int, default=2,
+                   help="iterative-refinement sweeps in the timed solve "
+                        "(0 = raw substitution; random square operands "
+                        "have cond ~ n, where the unrefined f32 "
+                        "substitution loses ~4 digits)")
     p.add_argument("--sweep", action="store_true",
                    help="sweep panel widths instead of one config")
     args = p.parse_args(argv)
@@ -55,9 +61,13 @@ def main(argv=None):
         extra = {"nb": nb, "dtype": args.dtype, "precision": args.precision,
                  "devices": grid.num_devices}
         if not args.no_validate:
-            l, u = lu.unpack(w)
-            pa = jnp.take(a, perm, axis=0)
-            num = jnp.linalg.norm(pa - l @ u)
+            # HIGHEST: at the TPU ambient 1-pass bf16 the validator's own
+            # L@U gemm carries an O(1)-class error at these contraction
+            # lengths — it would measure itself, not the factorization
+            with jax.default_matmul_precision("highest"):
+                l, u = lu.unpack(w)
+                pa = jnp.take(a, perm, axis=0)
+                num = jnp.linalg.norm(pa - l @ u)
             extra["residual"] = f"{float(num / jnp.linalg.norm(a)):.3e}"
         report(f"lu_n{n}", secs=secs, flops=flops, extra=extra,
                as_json=args.json)
@@ -65,11 +75,22 @@ def main(argv=None):
     if args.solve_k:
         b = jax.random.normal(jax.random.key(1), (n, args.solve_k),
                               dtype=dtype)
-        sf = jax.jit(lambda ww, pp, bb: lu.solve_factored(grid, ww, pp, bb))
-        secs, _, x = timed_loop(sf, (w, perm, b), args.num_iter)
-        extra = {"k": args.solve_k}
+
+        def solve_fn(ww, pp, bb, aa):
+            x = lu.solve_factored(grid, ww, pp, bb)
+            for _ in range(args.refine):
+                with jax.default_matmul_precision("highest"):
+                    r = bb - summa.gemm(grid, aa, x,
+                                        impl=args.summa_impl)
+                x = x + lu.solve_factored(grid, ww, pp, r)
+            return x
+
+        sf = jax.jit(solve_fn)
+        secs, _, x = timed_loop(sf, (w, perm, b, a), args.num_iter)
+        extra = {"k": args.solve_k, "refine": args.refine}
         if not args.no_validate:
-            res = jnp.linalg.norm(a @ x - b) / jnp.linalg.norm(b)
+            with jax.default_matmul_precision("highest"):
+                res = jnp.linalg.norm(a @ x - b) / jnp.linalg.norm(b)
             extra["solve_residual"] = f"{float(res):.3e}"
         report(f"lu_solve_n{n}", secs=secs,
                flops=2.0 * n * n * args.solve_k, extra=extra,

@@ -106,3 +106,42 @@ def test_lu_jit(grid122):
     f = jax.jit(lambda x: lu.factor(grid122, x, lu.Config(nb=64)))
     w, perm, sign = f(a)
     assert _lu_residual(a, w, perm) < 5e-6
+
+
+def test_panel_lu_jax_matches_custom_call(grid1, monkeypatch):
+    """The pure-JAX blocked panel getrf (the tall-panel route: XLA's
+    LuDecompositionBlock scoped-VMEM footprint scales with panel height
+    and dies at m >= ~14k on a 16-MB v5e) picks the identical pivot
+    sequence as lax.linalg.lu and reproduces its factors to rounding."""
+    from jax import lax as jlax
+    from capital_tpu.algs.lu import _panel_lu_jax
+
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.standard_normal((640, 192)).astype(np.float32))
+    w, perm, piv = _panel_lu_jax(a)
+    lu_ref, piv_ref, perm_ref = jlax.linalg.lu(a)
+    np.testing.assert_array_equal(np.asarray(perm), np.asarray(perm_ref))
+    scale = np.abs(np.asarray(lu_ref)).max()
+    assert np.abs(np.asarray(w) - np.asarray(lu_ref)).max() < 1e-5 * scale
+    # and PA = LU holds in its own right
+    w64 = np.asarray(w, np.float64)
+    l = np.tril(w64, -1)[:, :192] + np.eye(640, 192)
+    u = np.triu(w64[:192])
+    pa = np.asarray(a, np.float64)[np.asarray(perm)]
+    assert np.linalg.norm(l @ u - pa) / np.linalg.norm(pa) < 1e-6
+
+
+def test_factor_with_jax_panel_route(grid122, monkeypatch):
+    """lu.factor end-to-end with the JAX panel forced: same residual
+    class as the custom-call route."""
+    from capital_tpu import matrix
+
+    monkeypatch.setenv("CAPITAL_LU_PANEL", "jax")
+    n = 256
+    a = matrix.rand(grid122, n, n, jax.random.key(11)).data
+    w, perm, sign = lu.factor(grid122, a, lu.Config(nb=64))
+    l, u = lu.unpack(w)
+    pa = jnp.take(a, perm, axis=0)
+    res = np.linalg.norm(np.asarray(l, np.float64) @ np.asarray(u, np.float64)
+                         - np.asarray(pa, np.float64))
+    assert res / np.linalg.norm(np.asarray(a)) < 1e-5
