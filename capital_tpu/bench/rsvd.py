@@ -74,10 +74,13 @@ def main(argv=None):
              "grid": grid.shape, "dtype": args.dtype}
     if not args.no_validate:
         s_err = float(jnp.max(jnp.abs(s - s_true[: k]) / s_true[: k]))
-        # subspace residual ||A V^T - U diag(s)||_F / ||A||_F, row-local
-        av = a.astype(u.dtype) @ vt.T.astype(u.dtype)
-        res = jnp.linalg.norm(av - u * s) / jnp.linalg.norm(
-            a.astype(jnp.float32))
+        # subspace residual ||A V^T - U diag(s)||_F / ||A||_F, row-local;
+        # the validator gemm runs f32-faithful — at the TPU ambient 1-pass
+        # bf16 it would dominate the quantity measured
+        av = jnp.dot(a.astype(jnp.float32), vt.T.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+        res = jnp.linalg.norm(av - (u * s).astype(jnp.float32)) \
+            / jnp.linalg.norm(a.astype(jnp.float32))
         extra["sv_rel_err"] = round(s_err, 8)
         extra["subspace_residual"] = round(float(res), 8)
     rec = report("rsvd", secs=secs, flops=flops, extra=extra,
