@@ -210,3 +210,20 @@ def test_count_above_and_eigvalsh(grid122):
     w = eigh.eigvalsh(grid122, a, _cfg())
     assert np.abs(np.asarray(w, np.float64) - w_true).max() \
         < 3e-5 * np.linalg.norm(a_np)
+
+
+def test_eigh_partial_on_25d_grid(grid222):
+    """Partial path on a c=2 2.5D mesh: same oracle contract as the
+    flat-grid test (all stages — sign, split, child, TSQR refinement —
+    ride the distributed engines)."""
+    n, k = 256, 16
+    a_np = _sym(n, np.linspace(-1.5, 1.5, n), seed=12)
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid222.sharding(grid222.slice_spec))
+    w, x = eigh.eigh_partial(grid222, a, k, _cfg(base_n=64), which="top")
+    w_true = np.linalg.eigvalsh(a_np)[-k:]
+    scale = np.linalg.norm(a_np)
+    assert np.abs(np.asarray(w, np.float64) - w_true).max() < 3e-5 * scale
+    x64 = np.asarray(x, np.float64)
+    res = np.linalg.norm(a_np @ x64 - x64 * np.asarray(w, np.float64)) / scale
+    assert res < 2e-4, res
