@@ -98,6 +98,49 @@ def svd(grid: Grid, a, cfg: Config = Config(), layout: str = "auto"):
     return u, s.astype(a.dtype), v
 
 
+def svd_partial(grid: Grid, a, k: int, cfg: Config = Config(),
+                layout: str = "auto"):
+    """Top-k truncated SVD, deterministic: A ≈ U_k diag(s_k) V_k^T.
+
+    The polar factor is computed in full (it is the iteration itself),
+    but H's eigenproblem is solved only for its top-k invariant block
+    (eigh.eigh_partial — one bisected sign + one split instead of the
+    full spectrum), and only k columns of U are ever formed. Complements
+    apps/rsvd.py: rSVD samples the range (fast, randomized, accuracy
+    set by the oversampled gap); this path is deterministic with the
+    partial eigensolver's 1e-6-class residuals (BENCH_LOCAL.md).
+
+    Returns (U (m, k), s descending (k,), V (n, k))."""
+    if isinstance(a, DistMatrix):
+        a = a.data
+    m, n = a.shape
+    if not 1 <= k <= n:
+        raise ValueError(f"need 1 <= k <= n, got k={k}, n={n}")
+    layout = _polar._resolve_layout(grid, a, layout)
+    with tracing.phase("SVD::polar"):
+        up, h = _polar.polar_jit(grid, a, cfg.polar, layout=layout)
+    with tracing.phase("SVD::eigh"):
+        w, v = _eigh.eigh_partial(grid, grid.constrain(h, grid.slice_spec),
+                                  k, cfg.eig, which="top")
+    with tracing.phase("SVD::rotate"):
+        order = np.arange(k - 1, -1, -1)
+        s = jnp.maximum(jnp.take(w, jnp.asarray(order)), 0.0)
+        v = jnp.take(v, jnp.asarray(order), axis=1)
+        if layout == "1d":
+            def kern(u_blk, v_rep):
+                return _pdot(u_blk, v_rep).astype(u_blk.dtype)
+
+            u = jax.shard_map(kern, mesh=grid.mesh,
+                              in_specs=(P(ALL_AXES, None), P(None, None)),
+                              out_specs=P(ALL_AXES, None),
+                              check_vma=False)(
+                up, grid.constrain(v, P(None, None)))
+            u = grid.constrain(u, P(ALL_AXES, None))
+        else:
+            u = summa.gemm(grid, up, v, impl="gspmd")
+    return u, s.astype(a.dtype), v
+
+
 def singular_values(grid: Grid, a, cfg: Config = Config(),
                     layout: str = "auto"):
     """s(A) descending without forming U or V: s = eig(H) from the polar

@@ -89,3 +89,29 @@ def test_svd_rejects_wide(grid122):
     import jax.numpy as jnp
     with pytest.raises(ValueError):
         svd.svd(grid122, jnp.zeros((4, 8), jnp.float32))
+
+
+def test_svd_partial_topk(grid122):
+    """Deterministic truncated SVD (svd_partial) against the numpy oracle:
+    top-k singular values, left/right subspace residual, orthonormality."""
+    m, n, k = 768, 256, 16
+    rng = np.random.default_rng(13)
+    a_np = rng.standard_normal((m, n)).astype(np.float32)
+    # plant a decaying spectrum so the top-k is well defined
+    u0, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    v0, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    sv = np.linspace(3.0, 0.5, n)
+    a_np = (u0 * sv) @ v0.T
+    a = jax.device_put(np.asarray(a_np, np.float32),
+                       grid122.sharding(
+                           jax.sharding.PartitionSpec(("z", "y", "x"), None)))
+    u, s, v = svd.svd_partial(grid122, a, k, _cfg(), layout="1d")
+    s64 = np.asarray(s, np.float64)
+    s_true = np.linalg.svd(a_np, compute_uv=False)[:k]
+    assert np.all(np.diff(s64) <= 1e-6)
+    assert np.abs(s64 - s_true).max() < 3e-4 * s_true[0]
+    u64, v64 = np.asarray(u, np.float64), np.asarray(v, np.float64)
+    res = np.linalg.norm(a_np.astype(np.float64) @ v64 - u64 * s64)
+    assert res / np.linalg.norm(a_np) < 1e-3, res
+    assert np.linalg.norm(u64.T @ u64 - np.eye(k)) < 1e-4
+    assert np.linalg.norm(v64.T @ v64 - np.eye(k)) < 1e-4
