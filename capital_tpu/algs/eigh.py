@@ -494,9 +494,12 @@ def _rr_refine(grid: Grid, a, x, k: int):
 
     b = _stage_rr_basis(grid, a, x, k)
     n = b.shape[0]
-    if n // max(grid.num_devices, 1) >= b.shape[1]:
+    ndev = max(grid.num_devices, 1)
+    if n % ndev == 0 and n // ndev >= b.shape[1]:
         q, _ = _tsqr.factor(grid, b)
     else:
+        # unaligned n (the embedding path sizes) or too few local rows:
+        # replicated Householder QR
         q = _stage_rr_qr_replicated(grid, b)
     t = np.asarray(_stage_rr_project(grid, a, q), np.float64)
     w2, u2 = np.linalg.eigh(t)
@@ -589,7 +592,10 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
     if which != "top":
         raise ValueError(f"which must be 'top' or 'bottom', got {which!r}")
     cfg = cfg.resolved(grid)
-    if k == n or n <= cfg.base_n:
+    if k > n // 2 or n <= cfg.base_n:
+        # k == n, or most of the spectrum wanted: the accept window
+        # [k, m_max <= n/2] would be empty and every O(n^3) probe wasted
+        # — the full solver is the right tool past half the spectrum
         w, v = (eigh(grid, a, cfg) if n > cfg.base_n
                 else _base_eigh(grid, a))
         return w[-k:], grid.constrain(v[:, -k:], _out_spec(grid, k))
@@ -705,6 +711,10 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
         off_f = float(off)
         if math.isfinite(off_f) and off_f <= accept_tol * scale:
             break
+        if attempt >= cfg.shift_tries:
+            # no attempts left: don't burn a sign we cannot use; the
+            # loop then exhausts into the full-eigh fallback below
+            continue
         # leaked split (sigma numerically inside a cluster): nudge and
         # re-probe the sign
         sigma = sigma + max(0.1 * (float(hi) - sigma),

@@ -79,15 +79,34 @@ def apply_precision(args):
         jax.config.update("jax_default_matmul_precision", args.precision)
 
 
-def timed_loop(fn, args, num_iter: int, warmup: int = 1):
+def timed_loop(fn, args, num_iter: int, warmup: int = 1, make_args=None):
     """Warmup + timed loop; returns per-iteration seconds (min over iters,
-    matching the reference's max-over-ranks / best-practice minimum)."""
-    for _ in range(warmup):
-        out = fn(*args)
+    matching the reference's max-over-ranks / best-practice minimum).
+
+    make_args: optional factory i -> args tuple, for DONATING jits whose
+    input buffers are consumed — each call gets freshly generated
+    (seed-deterministic) operands instead of the perturbed `args`. The
+    last timed call uses i = num_iter - 1, so callers can regenerate the
+    exact operand the returned outputs correspond to."""
+    if make_args is None:
+        for _ in range(warmup):
+            out = fn(*args)
+        force(out)
+        times = []
+        for i in range(num_iter):
+            fresh = _perturb(args, i)
+            force(fresh)
+            t0 = time.perf_counter()
+            out = fn(*fresh)
+            force(out)
+            times.append(time.perf_counter() - t0)
+        return min(times), times, out
+    for w in range(warmup):
+        out = fn(*make_args(1000 + w))
     force(out)
     times = []
     for i in range(num_iter):
-        fresh = _perturb(args, i)
+        fresh = make_args(i)
         force(fresh)
         t0 = time.perf_counter()
         out = fn(*fresh)

@@ -62,28 +62,17 @@ def main(argv=None):
         fn = jax.jit(lambda x, _cfg=cfg: lu.factor(grid, x, _cfg),
                      donate_argnums=(0,) if args.donate else ())
         if args.donate:
-            # regenerate per call (the donated buffer is consumed)
+            # donated buffers are consumed: regenerate fresh
+            # seed-deterministic operands per call via timed_loop's
+            # factory, and rebuild the LAST iteration's operand below so
+            # validation/solve run against the matrix that was factored
             gen = jax.jit(lambda key: grid.constrain(
                 jax.random.normal(key, (n, n), dtype=dtype),
                 grid.slice_spec))
-
-            def run(i):
-                x = gen(jax.random.key(i))
-                jax.block_until_ready(x)
-                import time as _t
-
-                t0 = _t.perf_counter()
-                out = fn(x)
-                from capital_tpu.bench.common import force
-
-                force(out)
-                return _t.perf_counter() - t0, out
-
-            _, (w, perm, sign) = run(1000)
-            secs = float("inf")
-            for i in range(args.num_iter):
-                dt, (w, perm, sign) = run(i)
-                secs = min(secs, dt)
+            secs, _, (w, perm, sign) = timed_loop(
+                fn, (), args.num_iter,
+                make_args=lambda i: (gen(jax.random.key(i)),))
+            a = gen(jax.random.key(args.num_iter - 1))
         else:
             secs, _, (w, perm, sign) = timed_loop(fn, (a,), args.num_iter)
         extra = {"nb": nb, "dtype": args.dtype, "precision": args.precision,
@@ -97,8 +86,8 @@ def main(argv=None):
                 pa = jnp.take(a, perm, axis=0)
                 num = jnp.linalg.norm(pa - l @ u)
             extra["residual"] = f"{float(num / jnp.linalg.norm(a)):.3e}"
-        report(f"lu_n{n}", secs=secs, flops=flops, extra=extra,
-               as_json=args.json)
+        rec = report(f"lu_n{n}", secs=secs, flops=flops, extra=extra,
+                     as_json=args.json)
 
     if args.solve_k:
         b = jax.random.normal(jax.random.key(1), (n, args.solve_k),
@@ -129,6 +118,7 @@ def main(argv=None):
             jax.eval_shape(lambda x: lu.factor(grid, x, lu.Config(
                 nb=nbs[-1], summa_impl=args.summa_impl)), a)
         print(t.report())
+    return rec
 
 
 if __name__ == "__main__":

@@ -145,3 +145,15 @@ def test_factor_with_jax_panel_route(grid122, monkeypatch):
     res = np.linalg.norm(np.asarray(l, np.float64) @ np.asarray(u, np.float64)
                          - np.asarray(pa, np.float64))
     assert res / np.linalg.norm(np.asarray(a)) < 1e-5
+
+
+def test_lu_bench_donate_validates_factored_matrix(grid1, capsys):
+    """--donate regenerates per iteration; validation must check the
+    matrix that was actually factored LAST (review finding, round 4 —
+    it previously checked the startup operand and reported O(1)
+    residuals for correct factorizations)."""
+    from capital_tpu.bench import lu as lu_bench
+
+    rec = lu_bench.main(["--n", "128", "--nb", "64", "--num-iter", "3",
+                         "--donate", "--json"])
+    assert float(rec["residual"]) < 1e-5
