@@ -480,8 +480,7 @@ def _rr_refine(grid: Grid, a, x, k: int):
     """One residual-augmented Rayleigh-Ritz sweep: re-extract the top k
     Ritz pairs of A from span[X, residual].
 
-    The basis is orthonormalized by HOUSEHOLDER QR (TSQR when the mesh
-    allows, replicated jnp.linalg.qr otherwise) — the basis is rank-
+    The basis is orthonormalized by replicated HOUSEHOLDER QR — it is rank-
     deficient BY CONSTRUCTION whenever X is near-invariant (residual
     columns are then pure noise), which a Gram-based orthonormalization
     cannot survive: Cholesky NaNs on the singular Gram, and whitening the
@@ -490,17 +489,14 @@ def _rr_refine(grid: Grid, a, x, k: int):
     switched to Householder. Cost: O(n k^2) — trivial next to the O(n^3)
     signs. The projected (2k x 2k) problem is solved on the host in f64.
     Returns (w ascending (k,), X (n, k))."""
-    from capital_tpu.algs import tsqr as _tsqr
-
     b = _stage_rr_basis(grid, a, x, k)
-    n = b.shape[0]
-    ndev = max(grid.num_devices, 1)
-    if n % ndev == 0 and n // ndev >= b.shape[1]:
-        q, _ = _tsqr.factor(grid, b)
-    else:
-        # unaligned n (the embedding path sizes) or too few local rows:
-        # replicated Householder QR
-        q = _stage_rr_qr_replicated(grid, b)
+    # replicated Householder QR (REPLICATED placement, the framework's
+    # own base-case philosophy): the (n, 2k) basis is tiny next to the
+    # n^2 operand, and measured on-chip the alternative — TSQR's QR
+    # inside shard_map — hits a ~1000x-slow lowering on this platform at
+    # these shapes (20.2 s vs 25 ms for a (2048, 256) basis), while the
+    # replicated QR also handles n not divisible by the device count
+    q = _stage_rr_qr_replicated(grid, b)
     t = np.asarray(_stage_rr_project(grid, a, q), np.float64)
     w2, u2 = np.linalg.eigh(t)
     coef = jnp.asarray(u2[:, -k:], x.dtype)

@@ -23,7 +23,8 @@ from capital_tpu.grid import Grid
 
 def main(argv=None):
     p = base_parser("QDWH spectral solvers (eigh / svd)")
-    p.add_argument("--op", default="eigh", choices=["eigh", "svd", "partial"])
+    p.add_argument("--op", default="eigh",
+               choices=["eigh", "svd", "partial", "svd_partial"])
     p.add_argument("--n", type=int, default=4096)
     p.add_argument("--m", type=int, default=None,
                    help="rows for --op svd (default: n, square)")
@@ -75,7 +76,10 @@ def main(argv=None):
         a = matrix.rand(grid, m, n, jax.random.key(0), dtype=dtype,
                         row_tile=128 * grid.d1, col_tile=128 * grid.d2).data
         scfg = svd.Config(polar=polar.Config(chol=chol_cfg), eig=ecfg)
-        fn = lambda x: svd.svd(grid, x, scfg)  # noqa: E731
+        if args.op == "svd_partial":
+            fn = lambda x: svd.svd_partial(grid, x, args.k, scfg)  # noqa: E731
+        else:
+            fn = lambda x: svd.svd(grid, x, scfg)  # noqa: E731
         oracle = lambda x: jnp.linalg.svd(x, full_matrices=False)  # noqa: E731
 
     secs, _, out = timed_loop(fn, (a,), args.num_iter)
@@ -83,9 +87,10 @@ def main(argv=None):
     extra = {"n": n, "grid": grid.shape, "base_n": args.base_n}
     if args.op == "svd":
         extra["m"] = args.m or n
-    if args.op == "partial":
+    if args.op in ("partial", "svd_partial"):
         extra["k"] = args.k
-        extra["which"] = args.which
+        if args.op == "partial":
+            extra["which"] = args.which
     if not args.no_validate:
         if args.op in ("eigh", "partial"):
             w, v = out
@@ -102,11 +107,18 @@ def main(argv=None):
             u, s, v = out
             u64, v64 = np.asarray(u, np.float64), np.asarray(v, np.float64)
             a64 = np.asarray(a, np.float64)
-            extra["residual"] = float(
-                np.linalg.norm((u64 * np.asarray(s, np.float64)) @ v64.T
-                               - a64) / np.linalg.norm(a64))
+            kk = u64.shape[1]
+            if args.op == "svd_partial":
+                # truncated: subspace residual ||A V - U s|| / ||A||
+                extra["residual"] = float(
+                    np.linalg.norm(a64 @ v64 - u64 * np.asarray(
+                        s, np.float64)) / np.linalg.norm(a64))
+            else:
+                extra["residual"] = float(
+                    np.linalg.norm((u64 * np.asarray(s, np.float64)) @ v64.T
+                                   - a64) / np.linalg.norm(a64))
             extra["orthogonality"] = float(
-                np.linalg.norm(u64.T @ u64 - np.eye(n)) / np.sqrt(n))
+                np.linalg.norm(u64.T @ u64 - np.eye(kk)) / np.sqrt(kk))
 
     if args.compare_xla:
         rep = jax.device_put(a, grid.replicated)
