@@ -32,10 +32,10 @@ canonical form), applied as a diagonal flip on both factors.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from capital_tpu import tracing
@@ -58,10 +58,11 @@ def factor(grid: Grid, a, cfg: Config = Config()):
     if isinstance(a, DistMatrix):
         a = a.data
     m, n = a.shape
-    ndev = grid.num_devices
-    if m // max(ndev, 1) < n:
+    ndev = max(grid.num_devices, 1)
+    if m % ndev or m // ndev < n:
         raise ValueError(
-            f"tsqr needs local rows >= n: m={m}, n={n}, devices={ndev}")
+            f"tsqr needs ndev | m and local rows >= n: m={m}, n={n}, "
+            f"devices={ndev}")
     esz = jnp.dtype(a.dtype).itemsize
     tracing.record(
         "tsqr",
@@ -71,36 +72,63 @@ def factor(grid: Grid, a, cfg: Config = Config()):
         msgs=1,
     )
 
-    def kern(a_blk):
-        # pin the Householder updates' gemms to f32-faithful passes: at
-        # the TPU default (1-pass bf16) the factor's orthogonality lands
-        # at 5e-5 instead of eps (measured 2^19 x 512) — defeating the
-        # whole point of the stable QR
-        with jax.default_matmul_precision("highest"):
-            q0, r0 = jnp.linalg.qr(a_blk, mode="reduced")
-            # one all_gather of the D small R factors (axis 0 stacks them)
-            r_stack = lax.all_gather(r0, ALL_AXES, axis=0, tiled=True)
-            q1, r = jnp.linalg.qr(r_stack, mode="reduced")
-        if cfg.canonical:
-            s = jnp.where(jnp.diagonal(r) < 0, -1.0, 1.0).astype(r.dtype)
-            r = r * s[:, None]
-            q1 = q1 * s[None, :]
-        # this device's n-row slab of the level-1 Q
-        idx = lax.axis_index(ALL_AXES)
-        q1_i = lax.dynamic_slice_in_dim(q1, idx * n, n, axis=0)
-        from capital_tpu.ops.precision import dot as _pdot
-
-        acc = jnp.promote_types(a_blk.dtype, jnp.float32)
-        q = _pdot(q0, q1_i, preferred_element_type=acc)
-        return q.astype(a_blk.dtype), jnp.triu(r)
-
-    f = jax.shard_map(
-        kern, mesh=grid.mesh,
-        in_specs=P(ALL_AXES, None),
-        out_specs=(P(ALL_AXES, None), P(None, None)),
-        check_vma=False,  # the gathered-stack QR is replicated by
-        # construction; the static checker cannot see through linalg.qr
-    )
     with tracing.phase("TSQR::factor"):
-        q, r = f(a)
-    return grid.constrain(q, P(ALL_AXES, None)), r
+        q, r = (_kern_single(a, cfg) if ndev == 1
+                else _kern_tree(grid, a, cfg, ndev))
+    return q, r
+
+
+# AUTO-sharding formulation (no shard_map): the level-0 QRs run as ONE
+# batched jnp.linalg.qr over the (ndev, m/ndev, n) block view with the
+# batch axis sharded — GSPMD keeps each batch element device-local, and
+# the QR custom call lowers through its normal path. Measured on-chip: the
+# same QR issued INSIDE shard_map hits a ~40x-slower lowering on this
+# platform (30.1 s vs 0.71 s at 2^19 x 512), and even a batch=1 batched
+# call is ~13x slower than the plain one, hence the 1-device special case.
+# Module-level jits: per-call closures would retrace/recompile every
+# factor() invocation.
+
+
+def _canon(q, r):
+    s = jnp.where(jnp.diagonal(r) < 0, -1.0, 1.0).astype(r.dtype)
+    return q * s[None, :], r * s[:, None]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _kern_single(arr, cfg: Config):
+    with jax.default_matmul_precision("highest"):
+        q, r = jnp.linalg.qr(arr, mode="reduced")
+    if cfg.canonical:
+        q, r = _canon(q, r)
+    return q, jnp.triu(r)
+
+
+@partial(jax.jit, static_argnames=("grid", "cfg", "ndev"))
+def _kern_tree(grid: Grid, arr, cfg: Config, ndev: int):
+    m, n = arr.shape
+    # pin the Householder updates' gemms to f32-faithful passes: at the
+    # TPU default (1-pass bf16) the factor's orthogonality lands at 5e-5
+    # instead of eps (measured 2^19 x 512) — defeating the whole point of
+    # the stable QR
+    with jax.default_matmul_precision("highest"):
+        blocks = grid.constrain(
+            arr.reshape(ndev, m // ndev, n), P(ALL_AXES, None, None))
+        q0, r0 = jnp.linalg.qr(blocks, mode="reduced")
+        q0 = grid.constrain(q0, P(ALL_AXES, None, None))
+        # the D small R factors, stacked and replicated (the tree's one
+        # all-gather-sized exchange)
+        r_stack = grid.constrain(r0.reshape(ndev * n, n), P(None, None))
+        q1, r = jnp.linalg.qr(r_stack, mode="reduced")
+    if cfg.canonical:
+        q1, r = _canon(q1, r)
+    from capital_tpu.ops.precision import dot_general as _pdg
+
+    acc = jnp.promote_types(arr.dtype, jnp.float32)
+    # per-block back-propagation Q_i <- Q_i @ Q~_i (batched gemm, batch
+    # axis still sharded)
+    q1b = grid.constrain(q1.reshape(ndev, n, n), P(None, None, None))
+    q = _pdg(q0, q1b,
+             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+             preferred_element_type=acc).astype(arr.dtype)
+    q = grid.constrain(q, P(ALL_AXES, None, None)).reshape(m, n)
+    return grid.constrain(q, P(ALL_AXES, None)), jnp.triu(r)
