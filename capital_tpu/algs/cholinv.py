@@ -135,8 +135,12 @@ class Config:
                                BasePolicy(self.base_policy))
 
     def base_dim(self, grid: Grid, n: int) -> int:
-        bc = max(self.min_bc, grid.d * grid.c) << self.bc_mult
-        return min(bc, n)
+        # bc_mult is a +-power-of-2 scaling, negative allowed (ref: the
+        # bcMultiplier semantics of cholinv.hpp:15-18)
+        base = max(self.min_bc, grid.d * grid.c)
+        bc = (base >> -self.bc_mult if self.bc_mult < 0
+              else base << self.bc_mult)
+        return min(max(bc, 1), n)
 
 
 def _policy_axes(grid: Grid, policy: BasePolicy):

@@ -122,3 +122,17 @@ def test_base_policy_under_jit(grid222):
     r, rinv = jax.jit(lambda x: cholinv.factor(grid222, x, cfg))(a)
     assert float(validate.cholesky_residual(grid222, a, r)) < 5e-6
     assert float(validate.inverse_residual(grid222, r, rinv)) < 5e-6
+
+
+def test_negative_bc_mult(grid1):
+    """bc_mult is a +-power-of-2 scaling (ref: the bcMultiplier semantics,
+    cholinv.hpp:15-18) — negative values must halve the base case, not
+    crash on a negative shift (round-4 fix)."""
+    from capital_tpu import matrix, validate
+    from capital_tpu.algs import cholinv
+
+    cfg = cholinv.Config(bc_mult=-1, min_bc=128, base_method="xla")
+    assert cfg.base_dim(grid1, 1024) == 64
+    a = matrix.symmetric(grid1, 256, jax.random.key(2))
+    r, rinv = cholinv.factor(grid1, a, cfg)
+    assert float(validate.cholesky_residual(grid1, a.data, r)) < 1e-5
