@@ -12,6 +12,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from capital_tpu import tracing
 from capital_tpu.algs import lu
@@ -19,6 +20,33 @@ from capital_tpu.parallel import summa
 from capital_tpu.bench.common import (apply_precision, base_parser, report,
                                       timed_loop)
 from capital_tpu.grid import Grid
+
+
+def _chunked_residual(grid, w, perm, a, chunk: int = 2048):
+    """||P A - L U||_F via row slabs of L: peak extra memory is one dense
+    U plus an O(chunk x n) slab — the dense validator's full L and PA
+    copies OOM at n >= ~20k where the factorization itself still fits."""
+    n = w.shape[0]
+    chunk = min(chunk, n)
+    while n % chunk:
+        chunk //= 2
+
+    @jax.jit
+    def slab_sq(wf, pa_rows, i0):
+        rows = lax.dynamic_slice(wf, (i0, 0), (chunk, n))
+        ridx = i0 + jnp.arange(chunk)[:, None]
+        l_slab = jnp.where(jnp.arange(n)[None, :] < ridx, rows, 0.0) \
+            + (jnp.arange(n)[None, :] == ridx).astype(rows.dtype)
+        with jax.default_matmul_precision("highest"):
+            lu_rows = l_slab @ jnp.triu(wf)
+        return jnp.sum(jnp.square((pa_rows - lu_rows).astype(jnp.float32)))
+
+    total = 0.0
+    for i0 in range(0, n, chunk):
+        pa_rows = jnp.take(a, lax.dynamic_slice(perm, (i0,), (chunk,)),
+                           axis=0)
+        total += float(slab_sq(w, pa_rows, jnp.int32(i0)))
+    return jnp.sqrt(jnp.float32(total))
 
 
 def main(argv=None):
@@ -81,10 +109,16 @@ def main(argv=None):
             # HIGHEST: at the TPU ambient 1-pass bf16 the validator's own
             # L@U gemm carries an O(1)-class error at these contraction
             # lengths — it would measure itself, not the factorization
-            with jax.default_matmul_precision("highest"):
-                l, u = lu.unpack(w)
-                pa = jnp.take(a, perm, axis=0)
-                num = jnp.linalg.norm(pa - l @ u)
+            if n >= 16384:
+                # chunked ||PA - LU|| (row slabs; the dense validator's
+                # extra L and PA buffers OOM before the factorization
+                # does — same discipline as the chol panel validators)
+                num = _chunked_residual(grid, w, perm, a)
+            else:
+                with jax.default_matmul_precision("highest"):
+                    l, u = lu.unpack(w)
+                    pa = jnp.take(a, perm, axis=0)
+                    num = jnp.linalg.norm(pa - l @ u)
             extra["residual"] = f"{float(num / jnp.linalg.norm(a)):.3e}"
         rec = report(f"lu_n{n}", secs=secs, flops=flops, extra=extra,
                      as_json=args.json)
