@@ -157,3 +157,18 @@ def test_lu_bench_donate_validates_factored_matrix(grid1, capsys):
     rec = lu_bench.main(["--n", "128", "--nb", "64", "--num-iter", "3",
                          "--donate", "--json"])
     assert float(rec["residual"]) < 1e-5
+
+
+def test_chunked_residual_matches_dense(grid1):
+    """The bench's row-slab ||PA - LU|| (used at n >= 16384, where the
+    dense validator's buffers OOM before the factorization) equals the
+    dense formula."""
+    from capital_tpu.bench.lu import _chunked_residual
+
+    n = 512
+    a = _gen(n, seed=9)
+    w, perm, _ = lu.factor(grid1, a, lu.Config(nb=128))
+    l, u = lu.unpack(w)
+    dense = float(jnp.linalg.norm(jnp.take(a, perm, axis=0) - l @ u))
+    chunked = float(_chunked_residual(grid1, w, perm, a, chunk=128))
+    assert abs(dense - chunked) / dense < 1e-3
