@@ -555,7 +555,7 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
 
     Schedule — ONE level of the spectral divide-and-conquer, stopped early:
       1. bisect sigma on the Gershgorin interval until the sign-function
-         count m = #{lambda > sigma} lands in [k, ~2k] (each probe is one
+         count m = #{lambda > sigma} lands in [k, ~6k] (each probe is one
          QDWH sign, the same cost as an eigh level's step 2 — counts are
          monotone in sigma so bisection converges; clustered spectra that
          plateau fall back to the closest m >= k seen);
