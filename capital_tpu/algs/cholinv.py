@@ -73,10 +73,15 @@ class BasePolicy(enum.Enum):
         mesh). P-1 devices idle through the base case; exists as the
         reference's measurement point for "no redundant compute at all" and
         as the autotuner's lower anchor.
-    GATHER_OVERLAP (NoReplicationOverlap, policy.h:416-514): alias of
-        GATHER — the reference's overlap is a hand-rolled MPI_Iscatter
-        pipeline; XLA's async scheduler already overlaps the broadcast with
-        whatever follows, so the two schedules coincide here.
+    GATHER_OVERLAP (NoReplicationOverlap, policy.h:416-514): root-only
+        compute like GATHER, but the factor's broadcast overlaps the
+        root's triangular-inverse compute — the reference's MPI_Iscatter-
+        during-trtri pipeline (policy.h:470-488), expressed as two
+        independent subgraphs: psum(R) has no data dependence on
+        trtri(R), so XLA's async scheduler runs the collective while the
+        root's MXU inverts. Costs the fused chol+inv kernel (the stages
+        must be separate ops to overlap) — the same trade the reference
+        makes by splitting its potrf/trtri calls.
     """
 
     REPLICATED = "replicated"
@@ -108,6 +113,9 @@ class Config:
                   collective is in flight (the reference's
                   COLLECTIVE_CONCURRENCY_SOLO/LAYER compile flags,
                   summa.hpp:179-192, as a runtime knob).
+    summa_collect_chunks: slab-pipelined depth psum of the partial C (the
+                  reference's chunked MPI_Iallreduce collect,
+                  summa.hpp:238-249); no-op on c == 1 grids.
     remat:        jax.checkpoint the recursion branches (FlushIntermediates
                   analog — trades FLOPs for peak memory).
     """
@@ -120,6 +128,7 @@ class Config:
     summa_impl: str = "shard_map"
     summa_chunks: int = 1
     summa_throttle: bool = False
+    summa_collect_chunks: int = 1
     remat: bool = False
     # factorization direction (ref: the `dir` knob in the info pack,
     # cholinv.h:26-43): False -> A = R^T R (upper R), True -> A = L L^T
@@ -176,6 +185,32 @@ def _base_case(grid: Grid, a, cfg: Config):
     if not axes:
         r, rinv = lapack.chol_inv(a_rep, lower=False, method=cfg.base_method,
                                   platform=grid.platform)
+    elif cfg.base_policy is BasePolicy.GATHER_OVERLAP:
+        # the reference's Iscatter-during-trtri overlap (policy.h:470-488):
+        # stage the root compute as potrf THEN trtri, and start R's
+        # broadcast between them — psum(R) and trtri(R) share only R, so
+        # the collective rides the wire while the root's MXU inverts.
+        def kern_ov(blk):
+            root = jnp.bool_(True)
+            for ax in axes:
+                root = jnp.logical_and(root, jax.lax.axis_index(ax) == 0)
+
+            def idle(b):
+                return jnp.zeros_like(b)
+
+            r_l = jax.lax.cond(
+                root, lambda b: lapack.potrf(b, lower=False), idle, blk)
+            r_g = jax.lax.psum(r_l, axes)
+            ri_l = jax.lax.cond(
+                root, lambda rr: lapack.trtri(rr, lower=False), idle, r_l)
+            return r_g, jax.lax.psum(ri_l, axes)
+
+        f = jax.shard_map(
+            kern_ov, mesh=grid.mesh,
+            in_specs=P(None, None), out_specs=P(None, None),
+            check_vma=False,
+        )
+        r, rinv = f(a_rep)
     else:
         def kern(blk):
             root = jnp.bool_(True)
@@ -266,7 +301,8 @@ def _rec(grid: Grid, carry, off: int, n: int, bc: int, cfg: Config, top: bool):
     # `_restrict_` pointer-offset views, matrix.hpp:171-180, recovered on
     # TPU). Distributed grids slice inside summa (the serialize step).
     kw = dict(impl=cfg.summa_impl, num_chunks=cfg.summa_chunks,
-              throttle=cfg.summa_throttle)
+              throttle=cfg.summa_throttle,
+              collect_chunks=cfg.summa_collect_chunks)
 
     # TRSM step: R12 = R11^{-T} A12, written over A12 in the workspace
     # (ref: cholinv.hpp:116-123 — transpose of R11inv + summa TRMM).

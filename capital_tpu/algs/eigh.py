@@ -506,8 +506,9 @@ def _rr_refine(grid: Grid, a, x, k: int):
 
 @partial(jax.jit, static_argnames=("grid",))
 def _stage_rr_qr_replicated(grid: Grid, b):
-    """Replicated Householder QR fallback for meshes with fewer local rows
-    than basis columns."""
+    """Replicated Householder QR of the RR basis (the only path: TSQR's
+    QR-inside-shard_map hits a ~1000x-slow lowering on this platform at
+    (n, 2k) shapes, so the basis is orthonormalized replicated)."""
     rep = grid.constrain(b, P(None, None))
     with jax.default_matmul_precision("highest"):
         q, _ = jnp.linalg.qr(rep, mode="reduced")

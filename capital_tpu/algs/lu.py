@@ -88,86 +88,124 @@ class Config:
         return nb
 
 
-def _panel_lu_jax(panel, jb: int = 128):
-    """Blocked partial-pivoting LU of a replicated (m, nb) panel in pure
-    JAX — no LuDecompositionBlock custom call. XLA's getrf custom call
-    allocates scoped VMEM proportional to the panel HEIGHT (f32[m, 128]
-    work buffers) and overflows the v5e's 16-MB scoped limit at
-    m >= ~14k, killing n>=16384 factorizations outright; this routine
-    has no height-scaled VMEM footprint.
+def _panel_lu_jax(panel, ib: int | None = None, platform: str | None = None):
+    """Recursive blocked partial-pivoting LU (LAPACK xGETRF2's shape) of a
+    replicated (m, nb) panel in pure JAX — no LuDecompositionBlock custom
+    call. XLA's getrf custom call allocates scoped VMEM proportional to
+    the panel HEIGHT (f32[m, 128] work buffers) and overflows the v5e's
+    16-MB scoped limit at m >= ~14k, killing n>=16384 factorizations
+    outright; this routine has no height-scaled VMEM footprint.
 
-    Schedule (LAPACK getrf's own shape): for each jb-wide sub-panel, a
-    fori_loop of jb pivot/scale/rank-1 elimination steps on the (m, jb)
-    slab (VPU work, swaps deferred to the slab), then one permutation
-    gather + one unit-lower triangular solve + one MXU gemm trailing
-    update for the remaining columns. EXACT partial pivoting — same
-    ordering as LAPACK up to |.|-ties.
+    Schedule: recursive width halving unrolled at trace time — factor the
+    left half, pivot-gather + unit-lower solve + MXU gemm on the right
+    half, factor the right half, back-apply its pivots to the left. The
+    rank-1 pivot/scale elimination loop runs only at ib-wide leaves
+    (default 16). The leaf loop is HBM-bandwidth-bound at ~8*m*ib^2
+    bytes per leaf (each of the ib steps rewrites the (m, ib) strip), so
+    total panel rank-1 traffic is 8*m*nb*ib — the round-4 single-level
+    jb=128 slabs moved 8x more and were the factorization's second cost
+    center after the Schur gemms (~0.4 s of 1.33 s at n=24576). EXACT
+    partial pivoting — same ordering as LAPACK up to |.|-ties.
 
     Returns (lu (m, nb) row-permuted, perm (m,), pivots (nb,)) with
     lax.linalg.lu's return convention."""
+    import os
+
     m, nb = panel.shape
+    if ib is None:
+        ib = int(os.environ.get("CAPITAL_LU_IB", "32"))
     acc = jnp.promote_types(panel.dtype, jnp.float32)
     w = panel.astype(acc)
-    rows = jnp.arange(m, dtype=jnp.int32)
-    perm = jnp.arange(m, dtype=jnp.int32)
     pivots = jnp.arange(nb, dtype=jnp.int32)
+    # The rank-1 leaf as ONE Pallas kernel (strip resident in VMEM): each
+    # fori_loop elimination step otherwise costs ~10 XLA kernel launches
+    # (~45 us measured) — n sequential steps made the panel the dominant
+    # cost of the whole factorization. f32-on-TPU only; the pure-JAX leaf
+    # remains the CPU/f64 path.
+    leaf_mode = os.environ.get("CAPITAL_LU_LEAF", "auto")
+    use_pallas = (leaf_mode != "jax" and acc == jnp.float32
+                  and platform in ("tpu", "axon"))
 
     from capital_tpu.ops.precision import prec
 
     p = prec()
     pname = p.name.lower() if hasattr(p, "name") else str(p).lower()
 
-    for j in range(0, nb, jb):
-        jw = min(jb, nb - j)
-        sp = lax.slice(w, (0, j), (m, j + jw))
+    def leaf(w, pivots, j0, jw):
+        """Rank-1 elimination of columns [j0, j0+jw) over rows [j0, m).
+        Returns (w, pivots, pj) with pj a local row perm of [j0, m)."""
+        mm = m - j0
+        if use_pallas:
+            from capital_tpu.ops.pallas_getrf import getrf_leaf_pallas
+
+            sp = lax.slice(w, (j0, j0), (m, j0 + jw))
+            sp_out, pj, piv = getrf_leaf_pallas(sp)
+            w = lax.dynamic_update_slice(w, sp_out, (j0, j0))
+            pivots = lax.dynamic_update_slice(pivots, piv + j0, (j0,))
+            return w, pivots, pj
+        sp = lax.slice(w, (j0, j0), (m, j0 + jw))
+        rows = jnp.arange(mm, dtype=jnp.int32)
         cols = jnp.arange(jw, dtype=jnp.int32)
 
-        def step(c, carry, j=j, jw=jw, cols=cols):
+        def step(c, carry):
             sp, pj, piv = carry
-            g = (j + c).astype(jnp.int32)
-            colv = lax.dynamic_slice(sp, (0, c), (m, 1))[:, 0]
-            cand = jnp.where(rows >= g, jnp.abs(colv), -jnp.inf)
+            colv = lax.dynamic_slice(sp, (0, c), (mm, 1))[:, 0]
+            cand = jnp.where(rows >= c, jnp.abs(colv), -jnp.inf)
             p_ = jnp.argmax(cand).astype(jnp.int32)
             # two-row swap via dynamic slices (O(jw) traffic; a full
-            # (m, jw) permutation gather per step would dominate the loop)
-            row_g = lax.dynamic_slice(sp, (g, 0), (1, jw))
+            # (mm, jw) permutation gather per step would dominate)
+            row_g = lax.dynamic_slice(sp, (c, 0), (1, jw))
             row_p = lax.dynamic_slice(sp, (p_, 0), (1, jw))
-            sp = lax.dynamic_update_slice(sp, row_p, (g, 0))
+            sp = lax.dynamic_update_slice(sp, row_p, (c, 0))
             sp = lax.dynamic_update_slice(sp, row_g, (p_, 0))
-            pj_g = lax.dynamic_slice(pj, (g,), (1,))
+            pj_g = lax.dynamic_slice(pj, (c,), (1,))
             pj_p = lax.dynamic_slice(pj, (p_,), (1,))
-            pj = lax.dynamic_update_slice(pj, pj_p, (g,))
+            pj = lax.dynamic_update_slice(pj, pj_p, (c,))
             pj = lax.dynamic_update_slice(pj, pj_g, (p_,))
-            piv = lax.dynamic_update_slice(piv, p_[None], (g,))
-            colv = lax.dynamic_slice(sp, (0, c), (m, 1))[:, 0]
-            pivval = jnp.take(colv, g)
+            piv = lax.dynamic_update_slice(piv, (p_ + j0)[None], (j0 + c,))
+            colv = lax.dynamic_slice(sp, (0, c), (mm, 1))[:, 0]
+            pivval = jnp.take(colv, c)
             safe = jnp.where(pivval == 0, jnp.ones((), acc), pivval)
-            lcol = jnp.where(rows > g, colv / safe, colv)
+            lcol = jnp.where(rows > c, colv / safe, colv)
             sp = lax.dynamic_update_slice(sp, lcol[:, None], (0, c))
-            urow = lax.dynamic_slice(sp, (g, 0), (1, jw))[0]
+            urow = lax.dynamic_slice(sp, (c, 0), (1, jw))[0]
             urow = jnp.where(cols > c, urow, jnp.zeros((), acc))
-            lmask = jnp.where(rows > g, lcol, jnp.zeros((), acc))
+            lmask = jnp.where(rows > c, lcol, jnp.zeros((), acc))
             return (sp - lmask[:, None] * urow[None, :], pj, piv)
 
         sp, pj, pivots = lax.fori_loop(
-            0, jw, step, (sp, jnp.arange(m, dtype=jnp.int32), pivots))
-        # deferred row swaps for every other column (LAPACK's laswp),
-        # then write the factored slab back
-        w = jnp.take(w, pj, axis=0)
-        perm = jnp.take(perm, pj)
-        w = lax.dynamic_update_slice(w, sp, (0, j))
-        if j + jw < nb:
-            with jax.default_matmul_precision(pname):
-                l11 = sp[j:j + jw, :]
-                u12 = lax.linalg.triangular_solve(
-                    l11, lax.slice(w, (j, j + jw), (j + jw, nb)),
-                    left_side=True, lower=True, unit_diagonal=True)
-                w = lax.dynamic_update_slice(w, u12, (j, j + jw))
-                l21 = lax.slice(sp, (j + jw, 0), (m, jw))
-                trail = lax.slice(w, (j + jw, j + jw), (m, nb))
-                upd = trail - jnp.matmul(l21, u12,
-                                         preferred_element_type=acc)
-                w = lax.dynamic_update_slice(w, upd, (j + jw, j + jw))
+            0, jw, step, (sp, jnp.arange(mm, dtype=jnp.int32), pivots))
+        w = lax.dynamic_update_slice(w, sp, (j0, j0))
+        return w, pivots, pj
+
+    def rec(w, pivots, j0, jw):
+        if jw <= ib:
+            return leaf(w, pivots, j0, jw)
+        half = min(((jw // 2) + ib - 1) // ib * ib, jw - 1)
+        w, pivots, pj1 = rec(w, pivots, j0, half)
+        # right half: laswp by the left pivots, unit-lower solve, Schur
+        right = lax.slice(w, (j0, j0 + half), (m, j0 + jw))
+        right = jnp.take(right, pj1, axis=0)
+        with jax.default_matmul_precision(pname):
+            l11 = lax.slice(w, (j0, j0), (j0 + half, j0 + half))
+            u12 = lax.linalg.triangular_solve(
+                l11, lax.slice(right, (0, 0), (half, jw - half)),
+                left_side=True, lower=True, unit_diagonal=True)
+            l21 = lax.slice(w, (j0 + half, j0), (m, j0 + half))
+            low = lax.slice(right, (half, 0), (m - j0, jw - half)) \
+                - jnp.matmul(l21, u12, preferred_element_type=acc)
+        w = lax.dynamic_update_slice(w, u12, (j0, j0 + half))
+        w = lax.dynamic_update_slice(w, low, (j0 + half, j0 + half))
+        w, pivots, pj2 = rec(w, pivots, j0 + half, jw - half)
+        # back-apply the right pivots to the left L columns
+        left = lax.slice(w, (j0 + half, j0), (m, j0 + half))
+        w = lax.dynamic_update_slice(
+            w, jnp.take(left, pj2, axis=0), (j0 + half, j0))
+        pj2f = jnp.concatenate(
+            [jnp.arange(half, dtype=jnp.int32), pj2 + half])
+        return w, pivots, jnp.take(pj1, pj2f)
+
+    w, pivots, perm = rec(w, pivots, 0, nb)
     return w.astype(panel.dtype), perm, pivots
 
 
@@ -187,16 +225,18 @@ def _panel_lu(grid: Grid, panel):
     rep = grid.constrain(panel, P(None, None))
     from capital_tpu.ops.precision import prec
 
-    # XLA's LuDecompositionBlock custom call scales its scoped-VMEM
-    # footprint with panel height and dies at m >= ~14k on a 16-MB v5e;
-    # panels taller than 8192 route to the pure-JAX blocked getrf
-    # (same pivoting; the 12288-row panel still requested 17.96M).
+    # On TPU every panel routes to the recursive blocked getrf with the
+    # Pallas leaf kernel: XLA's LuDecompositionBlock custom call (a) dies
+    # at m >= ~14k on a 16-MB v5e (scoped VMEM scales with panel height)
+    # and (b) is slower even where it runs (n=16384 nb=2048: 394 ms
+    # all-recursive vs 420 ms with custom-call panels for m <= 8192).
+    # CAPITAL_LU_PANEL=xla restores the custom call; =jax forces the
+    # recursive panel everywhere (including CPU).
     mode = os.environ.get("CAPITAL_LU_PANEL", "auto")
     if mode == "jax" or (mode == "auto"
-                         and grid.platform in ("tpu", "axon")
-                         and rep.shape[0] > 8192):
+                         and grid.platform in ("tpu", "axon")):
         x = rep.astype(jnp.float32) if rep.dtype == jnp.bfloat16 else rep
-        lu_pan, perm, pivots = _panel_lu_jax(x)
+        lu_pan, perm, pivots = _panel_lu_jax(x, platform=grid.platform)
         return lu_pan.astype(rep.dtype), perm, pivots
 
     if rep.dtype == jnp.bfloat16:
@@ -314,7 +354,13 @@ def unpack(w):
 
 def solve_factored(grid: Grid, w, perm, b, trsm_cfg=None):
     """x = U^{-1} L^{-1} P b via the diaginvert TRSM engine (block
-    substitution, each panel update a summa gemm — algs/trsm.py)."""
+    substitution, each panel update a summa gemm — algs/trsm.py).
+
+    Both substitutions read the packed workspace DIRECTLY (trsm masks the
+    wrong triangle itself; unit_diag supplies L's implicit ones) — no
+    dense L/U materialization, so the peak live set is the workspace plus
+    the RHS block, not workspace + 2 n^2 unpacked copies (which roughly
+    halved the solvable n at the donate frontier)."""
     from capital_tpu.algs import trsm
 
     if isinstance(b, DistMatrix):
@@ -323,10 +369,10 @@ def solve_factored(grid: Grid, w, perm, b, trsm_cfg=None):
     if vec:
         b = b[:, None]
     cfg = trsm_cfg or trsm.Config()
-    l, u = unpack(w)
     pb = grid.constrain(jnp.take(b, perm, axis=0), grid.slice_spec)
-    y = trsm.solve(grid, l, pb, side="L", lower=True, cfg=cfg)
-    x = trsm.solve(grid, u, y, side="L", lower=False, cfg=cfg)
+    y = trsm.solve(grid, w, pb, side="L", lower=True, unit_diag=True,
+                   cfg=cfg)
+    x = trsm.solve(grid, w, y, side="L", lower=False, cfg=cfg)
     return x[:, 0] if vec else x
 
 

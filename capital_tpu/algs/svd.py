@@ -114,6 +114,8 @@ def svd_partial(grid: Grid, a, k: int, cfg: Config = Config(),
     if isinstance(a, DistMatrix):
         a = a.data
     m, n = a.shape
+    if m < n:
+        raise ValueError(f"svd_partial needs m >= n, got {a.shape}")
     if not 1 <= k <= n:
         raise ValueError(f"need 1 <= k <= n, got k={k}, n={n}")
     layout = _polar._resolve_layout(grid, a, layout)

@@ -62,13 +62,17 @@ class Config:
 
 
 def solve(grid: Grid, a, b, *, side: str = "L", lower: bool = True,
-          cfg: Config = Config()):
+          unit_diag: bool = False, cfg: Config = Config()):
     """X with op: L X = B (side='L') or X L = B (side='R').
 
     a: triangular (n, n); b: (n, m) for side L, (m, n) for side R; both
     sharded P('y','x') (ref signature: diaginvert::solve(L, X, B),
     diaginvert.h:15-17).
-    """
+
+    unit_diag=True reads only the strict triangle of `a` and takes the
+    diagonal as ones — so a packed LU workspace (L strict-lower, U upper,
+    algs/lu.py) feeds BOTH substitutions directly, no dense L/U unpack
+    (the in-place discipline of ref: cholinv.hpp:87-165)."""
     if isinstance(a, DistMatrix):
         a = a.data
     if isinstance(b, DistMatrix):
@@ -77,7 +81,7 @@ def solve(grid: Grid, a, b, *, side: str = "L", lower: bool = True,
         # X A = B  <=>  A^T X^T = B^T: transpose-reduce to the left case.
         xt = solve(grid, summa.transpose(grid, a, impl=cfg.tri.summa_impl),
                    summa.transpose(grid, b, impl=cfg.tri.summa_impl),
-                   side="L", lower=not lower, cfg=cfg)
+                   side="L", lower=not lower, unit_diag=unit_diag, cfg=cfg)
         return summa.transpose(grid, xt, impl=cfg.tri.summa_impl)
 
     n, m = a.shape[0], b.shape[1]
@@ -86,8 +90,13 @@ def solve(grid: Grid, a, b, *, side: str = "L", lower: bool = True,
     impl = cfg.tri.summa_impl
 
     # mask the wrong triangle so the full-width panel gemm in the scan sees
-    # zeros where the substitution sum must not reach
-    a = jnp.tril(a) if lower else jnp.triu(a)
+    # zeros where the substitution sum must not reach (plus an implicit
+    # unit diagonal for packed-LU operands)
+    if unit_diag:
+        eye = jnp.eye(n, dtype=a.dtype)
+        a = (jnp.tril(a, -1) if lower else jnp.triu(a, 1)) + eye
+    else:
+        a = jnp.tril(a) if lower else jnp.triu(a)
 
     # 1. invert every diagonal block up front (the "diaginvert" idea) and
     # stack them into ONE (num_p, nb, nb) array for the scan. The loop here

@@ -41,6 +41,7 @@ from jax.sharding import PartitionSpec as P
 from capital_tpu import tracing
 from capital_tpu.grid import Grid, ALL_AXES
 from capital_tpu.matrix import DistMatrix
+from capital_tpu.ops import lapack
 
 
 @dataclass(frozen=True)
@@ -97,7 +98,7 @@ def _canon(q, r):
 @partial(jax.jit, static_argnames=("cfg",))
 def _kern_single(arr, cfg: Config):
     with jax.default_matmul_precision("highest"):
-        q, r = jnp.linalg.qr(arr, mode="reduced")
+        q, r = lapack.qr(arr)
     if cfg.canonical:
         q, r = _canon(q, r)
     return q, jnp.triu(r)
@@ -113,12 +114,12 @@ def _kern_tree(grid: Grid, arr, cfg: Config, ndev: int):
     with jax.default_matmul_precision("highest"):
         blocks = grid.constrain(
             arr.reshape(ndev, m // ndev, n), P(ALL_AXES, None, None))
-        q0, r0 = jnp.linalg.qr(blocks, mode="reduced")
+        q0, r0 = lapack.qr(blocks)
         q0 = grid.constrain(q0, P(ALL_AXES, None, None))
         # the D small R factors, stacked and replicated (the tree's one
         # all-gather-sized exchange)
         r_stack = grid.constrain(r0.reshape(ndev * n, n), P(None, None))
-        q1, r = jnp.linalg.qr(r_stack, mode="reduced")
+        q1, r = lapack.qr(r_stack)
     if cfg.canonical:
         q1, r = _canon(q1, r)
     from capital_tpu.ops.precision import dot_general as _pdg

@@ -123,29 +123,59 @@ def sweep_cholinv(grid: Grid, a, space: dict | None = None,
     return out
 
 
+def cacqr_paths(grid: Grid) -> list[str]:
+    """Feasible cacqr dispatch paths for a grid — the QR tuner's real
+    decision variable (the reference sweeps grid aspect ratios precisely
+    to move between these regimes, autotune/qr/cacqr/tune.cpp:84-89;
+    dispatch at cacqr.hpp:229-244)."""
+    paths = ["1d"]
+    if grid.is_square and grid.num_devices > 1:
+        paths.append("3d")
+    if not grid.is_square and grid.c == grid.d2 and grid.c > 1:
+        paths.append("hybrid")
+    return paths
+
+
 def sweep_cacqr(grid: Grid, a, space: dict | None = None,
                 num_iter: int = 2) -> list[Candidate]:
     """Sweep CholeskyQR configs (ref: QR tune sweeps grid aspect ratios +
-    bcMultiplier, autotune/qr/cacqr/tune.cpp:84-89)."""
+    bcMultiplier, autotune/qr/cacqr/tune.cpp:84-89).
+
+    The `path` axis selects the dispatch regime (factor_1d / factor_3d /
+    factor_hybrid) so the grid-aspect sweep tunes the thing it exists
+    for: on a rect grid the hybrid Gram rides the (z, x) square view, on
+    a square grid the 3D path distributes the Gram Cholesky, and the 1D
+    gram-allreduce path is always feasible. formq_chunks (in-place Q
+    formation) and gram_kernel (triangle-aware Pallas vs XLA dot) are the
+    two single-chip knobs that dominate the tall-skinny regime."""
     from capital_tpu.algs import cacqr, cholinv
 
     space = space or {
-        "num_iter": [1, 2],
+        "path": cacqr_paths(grid),
+        "num_iter": [2],
         "gram_policy": ["allreduce", "two_stage", "packed"],
+        "gram_kernel": (["dot", "tri"]
+                        if grid.platform in ("tpu", "axon") else ["auto"]),
+        "formq_chunks": [1, 4],
         "base_method": ["auto"],
         "precision": ["highest", "high"],
     }
+    fns = {"1d": cacqr.factor_1d, "3d": cacqr.factor_3d,
+           "hybrid": cacqr.factor_hybrid, "auto": cacqr.factor}
     out = []
     keys = list(space)
     for vals in itertools.product(*(space[k] for k in keys)):
         params = dict(zip(keys, vals))
         cand = Candidate(params=params)
         try:
-            cfg_params = {k: v for k, v in params.items() if k != "precision"}
+            cfg_params = {k: v for k, v in params.items()
+                          if k not in ("precision", "path")}
             cfg = cacqr.Config(**cfg_params)
+            factor = fns[params.get("path", "auto")]
             with jax.default_matmul_precision(params.get("precision",
                                                          "highest")):
-                fn = jax.jit(lambda x, cfg=cfg: cacqr.factor_1d(grid, x, cfg))
+                fn = jax.jit(lambda x, cfg=cfg, factor=factor:
+                             factor(grid, x, cfg))
                 cand.costs, cand.model_time_s = _trace_costs(fn, (a,))
                 cand.time_s = _measure(lambda: fn, (a,), num_iter)
         except Exception as e:

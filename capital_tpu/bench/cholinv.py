@@ -108,7 +108,8 @@ def main(argv=None):
         secs = min(times)
     else:
         with prof:
-            secs, _, (r, rinv) = timed_loop(fn, (a.data,), args.num_iter)
+            secs, _, (r, rinv), (a_last,) = timed_loop(fn, (a.data,),
+                                                       args.num_iter)
 
     n = args.n
     flops = 2 * n**3 / 3  # chol + full triangular inverse
@@ -127,7 +128,7 @@ def main(argv=None):
             del rinv
             a_arr = regen(last_seed)
         else:
-            a_arr = a.data
+            a_arr = a_last  # the last perturbed operand actually factored
         extra["residual"] = float(jax.jit(
             lambda a_, r_: validate.cholesky_residual(
                 grid, a_, r_, impl=cfg.summa_impl, chunks=ch, masked=True),

@@ -80,14 +80,20 @@ def apply_precision(args):
 
 
 def timed_loop(fn, args, num_iter: int, warmup: int = 1, make_args=None):
-    """Warmup + timed loop; returns per-iteration seconds (min over iters,
-    matching the reference's max-over-ranks / best-practice minimum).
+    """Warmup + timed loop; returns (min_secs, times, out, last_args) —
+    min over iters matching the reference's max-over-ranks / best-practice
+    minimum, and the LAST iteration's (perturbed) input operands, so
+    validators can compare `out` against the operand that actually
+    produced it (the perturbation scale is 1e-7-level: without this, a
+    validator comparing against the unperturbed operand has a ~3e-7
+    residual floor).
 
     make_args: optional factory i -> args tuple, for DONATING jits whose
     input buffers are consumed — each call gets freshly generated
     (seed-deterministic) operands instead of the perturbed `args`. The
     last timed call uses i = num_iter - 1, so callers can regenerate the
-    exact operand the returned outputs correspond to."""
+    exact operand the returned outputs correspond to (donated last_args
+    buffers are consumed and returned as None)."""
     if make_args is None:
         for _ in range(warmup):
             out = fn(*args)
@@ -100,7 +106,7 @@ def timed_loop(fn, args, num_iter: int, warmup: int = 1, make_args=None):
             out = fn(*fresh)
             force(out)
             times.append(time.perf_counter() - t0)
-        return min(times), times, out
+        return min(times), times, out, fresh
     for w in range(warmup):
         out = fn(*make_args(1000 + w))
     force(out)
@@ -112,7 +118,7 @@ def timed_loop(fn, args, num_iter: int, warmup: int = 1, make_args=None):
         out = fn(*fresh)
         force(out)
         times.append(time.perf_counter() - t0)
-    return min(times), times, out
+    return min(times), times, out, None
 
 
 def report(name: str, *, secs: float, flops: float | None = None,

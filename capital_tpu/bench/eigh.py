@@ -82,7 +82,7 @@ def main(argv=None):
             fn = lambda x: svd.svd(grid, x, scfg)  # noqa: E731
         oracle = lambda x: jnp.linalg.svd(x, full_matrices=False)  # noqa: E731
 
-    secs, _, out = timed_loop(fn, (a,), args.num_iter)
+    secs, _, out, (a,) = timed_loop(fn, (a,), args.num_iter)
 
     extra = {"n": n, "grid": grid.shape, "base_n": args.base_n}
     if args.op == "svd":
@@ -123,7 +123,7 @@ def main(argv=None):
     if args.compare_xla:
         rep = jax.device_put(a, grid.replicated)
         xla_fn = jax.jit(oracle)
-        xsecs, _, _ = timed_loop(xla_fn, (rep,), args.num_iter)
+        xsecs, _, _, _ = timed_loop(xla_fn, (rep,), args.num_iter)
         extra["xla_time_s"] = round(xsecs, 6)
         extra["vs_xla"] = round(xsecs / secs, 3)
 

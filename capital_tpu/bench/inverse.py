@@ -72,7 +72,10 @@ def main(argv=None):
     with tracing.trace() as tr:
         jax.eval_shape(fn, *operands)
 
-    secs, _, out = timed_loop(fn, operands, args.num_iter)
+    secs, _, out, last_ops = timed_loop(fn, operands, args.num_iter)
+    operand = last_ops[0]
+    if args.alg == "trsm":
+        b = last_ops[1]
 
     extra = {"n": args.n, "alg": args.alg, "grid": grid.shape}
     if args.alg == "trsm":
@@ -95,7 +98,7 @@ def main(argv=None):
             extra["solve_residual"] = float(err)
         else:
             x = out[0] if args.alg == "newton" else out
-            src = a if args.alg == "newton" else jnp.tril(a)
+            src = operand  # the last perturbed operand actually inverted
             err = jax.jit(lambda s, xx: jnp.linalg.norm(
                 (jnp.dot(s, xx, precision=hp)
                  - jnp.eye(n, dtype=s.dtype)).astype(jnp.float32))

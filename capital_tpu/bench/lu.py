@@ -83,9 +83,11 @@ def main(argv=None):
     flops = 2.0 * n**3 / 3.0
 
     nbs = ([256, 512, 1024, 2048, 4096] if args.sweep else [args.nb])
+    nbs = [nb for nb in nbs if nb <= n]
+    if not nbs:
+        p.error(f"no panel width <= n={n} (use --nb <= n)")
+    rec = None
     for nb in nbs:
-        if nb > n:
-            continue
         cfg = lu.Config(nb=nb, summa_impl=args.summa_impl)
         fn = jax.jit(lambda x, _cfg=cfg: lu.factor(grid, x, _cfg),
                      donate_argnums=(0,) if args.donate else ())
@@ -97,12 +99,13 @@ def main(argv=None):
             gen = jax.jit(lambda key: grid.constrain(
                 jax.random.normal(key, (n, n), dtype=dtype),
                 grid.slice_spec))
-            secs, _, (w, perm, sign) = timed_loop(
+            secs, _, (w, perm, sign), _ = timed_loop(
                 fn, (), args.num_iter,
                 make_args=lambda i: (gen(jax.random.key(i)),))
             a = gen(jax.random.key(args.num_iter - 1))
         else:
-            secs, _, (w, perm, sign) = timed_loop(fn, (a,), args.num_iter)
+            secs, _, (w, perm, sign), (a,) = timed_loop(fn, (a,),
+                                                        args.num_iter)
         extra = {"nb": nb, "dtype": args.dtype, "precision": args.precision,
                  "devices": grid.num_devices}
         if not args.no_validate:
@@ -137,7 +140,8 @@ def main(argv=None):
             return x
 
         sf = jax.jit(solve_fn)
-        secs, _, x = timed_loop(sf, (w, perm, b, a), args.num_iter)
+        secs, _, x, (w, perm, b, a) = timed_loop(sf, (w, perm, b, a),
+                                                 args.num_iter)
         extra = {"k": args.solve_k, "refine": args.refine}
         if not args.no_validate:
             with jax.default_matmul_precision("highest"):

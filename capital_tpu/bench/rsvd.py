@@ -63,7 +63,7 @@ def main(argv=None):
     fn = jax.jit(lambda x: rsvd.rsvd(grid, x, cfg))
     with tracing.trace() as t:
         jax.eval_shape(fn, a)
-    secs, _, (u, s, vt) = timed_loop(fn, (a,), args.num_iter)
+    secs, _, (u, s, vt), (a,) = timed_loop(fn, (a,), args.num_iter)
 
     # (q+1) passes of 2mnl (sketch/power downs) + (q) ups + core, plus the
     # CholeskyQR2 sweeps ~ 4 m l^2 each; count the textbook products

@@ -76,7 +76,7 @@ def main(argv=None):
     extra["k"] = args.k
     extra["grid"] = grid.shape
 
-    secs, _, x = timed_loop(fn, (a, b), args.num_iter)
+    secs, _, x, (a, b) = timed_loop(fn, (a, b), args.num_iter)
 
     if not args.no_validate:
         kb = min(args.k, 8)

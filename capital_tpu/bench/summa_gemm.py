@@ -37,7 +37,8 @@ def main(argv=None):
     with tracing.trace() as t:
         jax.eval_shape(fn, a.data, b.data)
 
-    secs, _, out = timed_loop(fn, (a.data, b.data), args.num_iter)
+    secs, _, out, (a_last, b_last) = timed_loop(fn, (a.data, b.data),
+                                                args.num_iter)
 
     m, k = a.data.shape
     n = b.data.shape[1]
@@ -45,7 +46,7 @@ def main(argv=None):
     if not args.no_validate:
         # spot-check one tile against local recompute — at HIGHEST matmul
         # precision, else the bf16-pass reference dot dominates the error
-        ref = jnp.dot(a.data[:256], b.data,
+        ref = jnp.dot(a_last[:256], b_last,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
         err = float(jnp.max(jnp.abs(out[:256].astype(jnp.float32) - ref))

@@ -61,17 +61,32 @@ def trtri(t: jax.Array, lower: bool = False) -> jax.Array:
 
 
 def geqrf(a: jax.Array):
-    """Householder QR factor pair (ref: _geqrf, lapack/interface.hpp:68-77 —
-    wrapped by the reference but never called by any algorithm; kept here for
-    the same API-parity reason). Returns (qr_packed, tau)."""
-    return lax.linalg.qr(a, full_matrices=False)
+    """Householder QR, packed form (ref: _geqrf, lapack/interface.hpp:68-77).
+    Returns (packed, tau): reflectors below the diagonal, R on and above,
+    tau the reflector scales — LAPACK's own return convention. Batch dims
+    supported. Call sites: the TSQR tree's local QRs (algs/tsqr.py)."""
+    # jnp's "raw" mode IS geqrf (numpy convention returns the packed
+    # factor transposed; swap back to LAPACK's (m, n) layout)
+    h, tau = jnp.linalg.qr(a, mode="raw")
+    return jnp.swapaxes(h, -1, -2), tau
 
 
-def orgqr(a: jax.Array):
-    """Explicit Q from a QR factorization (ref: _orgqr, lapack/
-    interface.hpp:79-88). Returns Q with orthonormal columns."""
-    q, _ = lax.linalg.qr(a, full_matrices=False)
-    return q
+def orgqr(packed: jax.Array, tau: jax.Array):
+    """Explicit Q from geqrf's packed reflectors (ref: _orgqr, lapack/
+    interface.hpp:79-88 — LAPACK's two-call geqrf/orgqr idiom). Returns
+    the reduced (m, n) Q with orthonormal columns."""
+    return lax.linalg.householder_product(packed, tau)
+
+
+def qr(a: jax.Array):
+    """Reduced QR via the geqrf/orgqr pair — the exact two-call LAPACK
+    sequence the reference's lapack engine exposes (engine.h:38-102).
+    Returns (Q (m, n), R (n, n)); batch dims supported."""
+    packed, tau = geqrf(a)
+    n = a.shape[-1]
+    q = orgqr(packed, tau)
+    r = jnp.triu(packed[..., :n, :])
+    return q, r
 
 
 def chol_inv(a: jax.Array, lower: bool = False, method: str = "auto",

@@ -75,10 +75,12 @@ def _win_shape(x, window):
     return _jax.ShapeDtypeStruct((window[2], window[3]), x.dtype)
 
 
-def _record_gemm_cost(grid: Grid, a, b):
+def _record_gemm_cost(grid: Grid, a, b, collect_chunks: int = 1):
     """Analytic per-device cost of one 2.5D gemm (tracing.py, critter analog):
     2mnk/(d^2 c) MXU flops; two all_gathers of the K panels + one psum over
-    depth. Only active inside tracing.trace()."""
+    depth (collect_chunks slab psums move the same volume in more
+    messages — the latency/overlap trade the knob buys). Only active
+    inside tracing.trace()."""
     if tracing.active() is None:
         return
     d, c = grid.d1, grid.c
@@ -86,12 +88,13 @@ def _record_gemm_cost(grid: Grid, a, b):
     n = b.shape[1]
     esz = a.dtype.itemsize
     flops = 2.0 * m * n * k / (d * d * c)
+    cc = max(1, collect_chunks) if c > 1 else 1
     comm = (
         tracing.all_gather_bytes(m * k * esz / (d * d * c), grid.d2)
         + tracing.all_gather_bytes(k * n * esz / (d * d * c), d)
         + tracing.psum_bytes(m * n * esz / (d * d), c)
     )
-    tracing.record("summa.gemm", flops=flops, comm_bytes=comm, msgs=3)
+    tracing.record("summa.gemm", flops=flops, comm_bytes=comm, msgs=2 + cc)
 
 
 def _check_divisible(grid: Grid, a, b):
@@ -122,7 +125,7 @@ def _z_slice(a_blk, b_blk, ax_z):
 
 
 def _make_summa_kernel(ax_z, ax_y, ax_x, num_chunks: int = 1,
-                       throttle: bool = False):
+                       throttle: bool = False, collect_chunks: int = 1):
     """Local shard_map body over the grid's role axes.
     a_blk: (mb, kb), b_blk: (kb, nb) at coordinates (z, y, x).
 
@@ -140,7 +143,18 @@ def _make_summa_kernel(ax_z, ax_y, ax_x, num_chunks: int = 1,
     are independent, so XLA issues them concurrently on two ICI dimensions;
     an optimization_barrier chains B's gather behind A's so at most one
     collective is in flight — same contention trade the reference's SOLO
-    flag makes."""
+    flag makes.
+
+    collect_chunks > 1 pipelines the COLLECT half — the depth psum of the
+    partial C — against the MXU, matching the reference's chunked
+    MPI_Iallreduce (ref: summa.hpp:238-249, the other half of its overlap
+    knob). Schedule change: the local product is computed in
+    collect_chunks row slabs (each a_rows gather + gemm produces one
+    finished C slab), and each slab's psum has no data dependence on the
+    next slab's gather/gemm, so XLA overlaps reduce i with compute i+1.
+    On c>1 meshes the depth reduce is the second-largest wire volume;
+    this is its only overlap path. Composes with num_chunks (the K extent
+    of each slab's gemm is still gather-pipelined)."""
 
     def kern(a_blk, b_blk):
         a_sub, b_sub = _z_slice(a_blk, b_blk, ax_z)
@@ -149,24 +163,49 @@ def _make_summa_kernel(ax_z, ax_y, ax_x, num_chunks: int = 1,
             chunks -= 1
         ka = a_sub.shape[1] // chunks
         kb = b_sub.shape[0] // chunks
-        part = None
-        for i in range(chunks):
-            a_c = lax.slice_in_dim(a_sub, i * ka, (i + 1) * ka, axis=1)
-            b_c = lax.slice_in_dim(b_sub, i * kb, (i + 1) * kb, axis=0)
-            a_k = lax.all_gather(a_c, ax_x, axis=1, tiled=True)
-            if throttle:
-                a_k, b_c = lax.optimization_barrier((a_k, b_c))
-            b_k = lax.all_gather(b_c, ax_y, axis=0, tiled=True)
-            p = _pdot(a_k, b_k)
-            part = p if part is None else part + p
-        if ax_z is not None:
-            part = lax.psum(part, ax_z)
-        return part.astype(a_blk.dtype)
+
+        cc = collect_chunks if ax_z is not None else 1
+        while a_sub.shape[0] % cc:
+            cc -= 1
+        if cc <= 1:
+            part = None
+            for i in range(chunks):
+                a_c = lax.slice_in_dim(a_sub, i * ka, (i + 1) * ka, axis=1)
+                b_c = lax.slice_in_dim(b_sub, i * kb, (i + 1) * kb, axis=0)
+                a_k = lax.all_gather(a_c, ax_x, axis=1, tiled=True)
+                if throttle:
+                    a_k, b_c = lax.optimization_barrier((a_k, b_c))
+                b_k = lax.all_gather(b_c, ax_y, axis=0, tiled=True)
+                p = _pdot(a_k, b_k)
+                part = p if part is None else part + p
+            if ax_z is not None:
+                part = lax.psum(part, ax_z)
+            return part.astype(a_blk.dtype)
+        # collect-pipelined path: B's K panels gathered ONCE up front (per
+        # K chunk, preserving the chunk-gather K ordering the A side
+        # uses); then per row slab, one A gather + gemm + psum — slab i's
+        # psum overlaps slab i+1's gather/gemm.
+        b_ks = []
+        for j in range(chunks):
+            b_c = lax.slice_in_dim(b_sub, j * kb, (j + 1) * kb, axis=0)
+            b_ks.append(lax.all_gather(b_c, ax_y, axis=0, tiled=True))
+        mb = a_sub.shape[0] // cc
+        slabs = []
+        for i in range(cc):
+            rows = lax.slice_in_dim(a_sub, i * mb, (i + 1) * mb, axis=0)
+            part = None
+            for j in range(chunks):
+                a_c = lax.slice_in_dim(rows, j * ka, (j + 1) * ka, axis=1)
+                a_k = lax.all_gather(a_c, ax_x, axis=1, tiled=True)
+                p = _pdot(a_k, b_ks[j])
+                part = p if part is None else part + p
+            slabs.append(lax.psum(part, ax_z))
+        return jnp.concatenate(slabs, axis=0).astype(a_blk.dtype)
 
     return kern
 
 
-def _make_ring_kernel(ax_z, ax_y, ax_x, d: int):
+def _make_ring_kernel(ax_z, ax_y, ax_x, d: int, collect_chunks: int = 1):
     """Cannon-rotation schedule: the TPU-native build of the reference's
     pipelined-broadcast overlap (ref: the num_chunks Ibcast pipeline,
     summa.hpp:195-215 — same goal, ICI-native mechanics).
@@ -197,14 +236,34 @@ def _make_ring_kernel(ax_z, ax_y, ax_x, d: int):
         b_s = lax.ppermute(b_sub, (ax_y, ax_x), skew_b)
         rot_a = [(j, (j - 1) % d) for j in range(d)]
         rot_b = [(i, (i - 1) % d) for i in range(d)]
+        cc = collect_chunks if ax_z is not None else 1
+        while a_s.shape[0] % cc:
+            cc -= 1
         part = None
         for s in range(d):
-            p = _pdot(a_s, b_s)
-            part = p if part is None else part + p
+            if s + 1 == d and cc > 1:
+                # chunked depth collect (ref: the Iallreduce half of the
+                # overlap knob, summa.hpp:238-249): the LAST rotation
+                # step's gemm runs in row slabs, each slab's accumulated
+                # partial psummed while the next slab's gemm runs.
+                mb = a_s.shape[0] // cc
+                slabs = []
+                for i in range(cc):
+                    rows = lax.slice_in_dim(a_s, i * mb, (i + 1) * mb,
+                                            axis=0)
+                    p = _pdot(rows, b_s)
+                    if part is not None:
+                        p = p + lax.slice_in_dim(part, i * mb,
+                                                 (i + 1) * mb, axis=0)
+                    slabs.append(lax.psum(p, ax_z))
+                part = jnp.concatenate(slabs, axis=0)
+            else:
+                p = _pdot(a_s, b_s)
+                part = p if part is None else part + p
             if s + 1 < d:
                 a_s = lax.ppermute(a_s, ax_x, rot_a)
                 b_s = lax.ppermute(b_s, ax_y, rot_b)
-        if ax_z is not None:
+        if ax_z is not None and cc <= 1:
             part = lax.psum(part, ax_z)
         return part.astype(a_blk.dtype)
 
@@ -212,7 +271,8 @@ def _make_ring_kernel(ax_z, ax_y, ax_x, d: int):
 
 
 def gemm(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
-         num_chunks: int = 1, throttle: bool = False):
+         num_chunks: int = 1, throttle: bool = False,
+         collect_chunks: int = 1):
     """C = alpha * A @ B + beta * C, distributed (ref: summa.hpp:6-44).
 
     impl: 'shard_map' (all_gather K panels; num_chunks > 1 pipelines the
@@ -225,20 +285,25 @@ def gemm(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
     the reference's COLLECTIVE_CONCURRENCY_SOLO/LAYER compile flag
     (summa.hpp:179-192) as a runtime knob.
 
+    collect_chunks > 1 pipelines the depth psum of the partial C in row
+    slabs against the MXU — the reference's chunked MPI_Iallreduce collect
+    (summa.hpp:238-249); both engines support it (no-op when c == 1).
+
     alpha/beta are applied as a fused elementwise epilogue on the already
     block-aligned output (the reference's save/restore AXPY, summa.hpp:27-35).
     """
-    _record_gemm_cost(grid, a, b)
+    _record_gemm_cost(grid, a, b, collect_chunks=collect_chunks)
     if impl == "gspmd":
         out = _pdot(a, b).astype(a.dtype)
         out = grid.constrain(out, grid.slice_spec)
     else:
         _check_divisible(grid, a, b)
         if impl == "ring":
-            kern = _make_ring_kernel(grid.ax_z, grid.ax_y, grid.ax_x, grid.d)
+            kern = _make_ring_kernel(grid.ax_z, grid.ax_y, grid.ax_x, grid.d,
+                                     collect_chunks)
         elif impl == "shard_map":
             kern = _make_summa_kernel(grid.ax_z, grid.ax_y, grid.ax_x,
-                                      num_chunks, throttle)
+                                      num_chunks, throttle, collect_chunks)
         else:
             raise ValueError(f"unknown summa impl {impl!r}")
         f = jax.shard_map(
@@ -285,7 +350,7 @@ def transpose(grid: Grid, a, impl="shard_map"):
 
 def trmm(grid: Grid, a, b, *, side="L", uplo="U", trans_a=False, alpha=1.0,
          impl="shard_map", num_chunks: int = 1, throttle: bool = False,
-         a_window=None, b_window=None):
+         collect_chunks: int = 1, a_window=None, b_window=None):
     """Distributed triangular multiply (ref: summa.hpp:46-83). Triangular
     structure is a global mask fused into the operand (see matrix.py); the
     multiply itself is the gemm engine.
@@ -327,10 +392,10 @@ def trmm(grid: Grid, a, b, *, side="L", uplo="U", trans_a=False, alpha=1.0,
         t = transpose(grid, t, impl=impl)
     if side == "L":
         out = gemm(grid, t, b, alpha=alpha, impl=impl, num_chunks=num_chunks,
-                   throttle=throttle)
+                   throttle=throttle, collect_chunks=collect_chunks)
     else:
         out = gemm(grid, b, t, alpha=alpha, impl=impl, num_chunks=num_chunks,
-                   throttle=throttle)
+                   throttle=throttle, collect_chunks=collect_chunks)
     return out
 
 
@@ -348,7 +413,8 @@ def _syrk_gspmd(grid: Grid, a, b, c, alpha, beta):
 
 
 def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
-         num_chunks: int = 1, throttle: bool = False, a_window=None):
+         num_chunks: int = 1, throttle: bool = False,
+         collect_chunks: int = 1, a_window=None):
     """C = alpha * A^T A + beta * C, distributed (ref: summa.hpp:85-161).
 
     shard_map impl: grid-transpose + gemm — the reference does exactly this
@@ -373,15 +439,18 @@ def syrk(grid: Grid, a, *, c=None, alpha=1.0, beta=0.0, impl="shard_map",
         return _syrk_gspmd(grid, a, a, c, alpha, beta)
     at = transpose(grid, a, impl=impl)
     return gemm(grid, at, a, c=c, alpha=alpha, beta=beta, impl=impl,
-                num_chunks=num_chunks, throttle=throttle)
+                num_chunks=num_chunks, throttle=throttle,
+                collect_chunks=collect_chunks)
 
 
 def syrk2(grid: Grid, a, b, *, c=None, alpha=1.0, beta=0.0,
-          impl="shard_map", num_chunks: int = 1, throttle: bool = False):
+          impl="shard_map", num_chunks: int = 1, throttle: bool = False,
+          collect_chunks: int = 1):
     """Two-matrix SYRK: C = alpha * A^T B + beta * C (ref: the 2-matrix syrk
     overload, summa.hpp:85-108)."""
     if impl == "gspmd":
         return _syrk_gspmd(grid, a, b, c, alpha, beta)
     at = transpose(grid, a, impl=impl)
     return gemm(grid, at, b, c=c, alpha=alpha, beta=beta, impl=impl,
-                num_chunks=num_chunks, throttle=throttle)
+                num_chunks=num_chunks, throttle=throttle,
+                collect_chunks=collect_chunks)

@@ -103,15 +103,25 @@ def test_base_policy_matches_replicated(grid222, policy):
     (ref: policy.h:160-514). LAYER computes on z==0 + depth broadcast;
     GATHER computes on one device + mesh-wide broadcast; both must equal
     the redundant-everywhere REPLICATED result bit-for-bit (same local
-    kernel, broadcast of identical values)."""
+    kernel, broadcast of identical values). GATHER_OVERLAP stages potrf
+    and trtri as separate ops so R's broadcast overlaps the inverse
+    compute (ref: the Iscatter-during-trtri pipeline, policy.h:470-488) —
+    a different rounding path than the fused chol+inv kernel, so it
+    agrees to rounding, not bitwise."""
     n = 256
     a = _spd(grid222, n, seed=13)
     base = cholinv.Config(min_bc=64, base_method="xla")
     alt = cholinv.Config(min_bc=64, base_method="xla", base_policy=policy)
     r0, ri0 = cholinv.factor(grid222, a, base)
     r1, ri1 = cholinv.factor(grid222, a, alt)
-    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
-    np.testing.assert_array_equal(np.asarray(ri0), np.asarray(ri1))
+    if policy == "gather_overlap":
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ri0), np.asarray(ri1),
+                                   rtol=1e-4, atol=1e-6)
+    else:
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+        np.testing.assert_array_equal(np.asarray(ri0), np.asarray(ri1))
 
 
 def test_base_policy_under_jit(grid222):

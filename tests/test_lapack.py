@@ -60,3 +60,24 @@ def test_blas_syrk():
     a = jnp.asarray(np.random.RandomState(5).randn(20, 10), dtype=jnp.float32)
     out = blas.syrk(a, trans="T")
     np.testing.assert_allclose(np.asarray(out), np.asarray(a).T @ np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_geqrf_orgqr_pair():
+    """The two-call LAPACK idiom (ref: engine.h:38-102): geqrf's packed
+    reflectors + orgqr reproduce the reduced QR; these are the local
+    kernels the TSQR tree calls (algs/tsqr.py)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal((96, 32)).astype(np.float32))
+    packed, tau = lapack.geqrf(a)
+    assert packed.shape == (96, 32) and tau.shape == (32,)
+    q = lapack.orgqr(packed, tau)
+    r = jnp.triu(packed[:32, :])
+    np.testing.assert_allclose(np.asarray(q @ r), np.asarray(a),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(32),
+                               rtol=0, atol=1e-5)
+    q2, r2 = lapack.qr(a)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q), atol=0)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r), atol=0)

@@ -176,3 +176,65 @@ def test_cholinv_with_chunked_summa(grid222):
     cfg = cholinv.Config(min_bc=64, base_method="xla", summa_chunks=2)
     r, _ = cholinv.factor(grid222, a, cfg)
     assert float(validate.cholesky_residual(grid222, a, r)) < 5e-6
+
+
+@pytest.mark.parametrize("cc", [2, 4])
+def test_gemm_collect_chunked_matches(grid222, cc):
+    """collect_chunks slab-pipelines the depth psum (the chunked
+    MPI_Iallreduce collect, ref: summa.hpp:238-249) and is numerically
+    identical to the monolithic psum — same per-slab accumulation order,
+    same reduction order."""
+    m = k = n = 128
+    a = matrix.rand(grid222, m, k, jax.random.key(51)).data
+    b = matrix.rand(grid222, k, n, jax.random.key(52)).data
+    c0 = summa.gemm(grid222, a, b)
+    c1 = summa.gemm(grid222, a, b, collect_chunks=cc)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_gemm_collect_and_k_chunks_compose(grid222):
+    """Both overlap halves at once: K-chunked gathers inside slab gemms +
+    slab psums (the reference's Ibcast AND Iallreduce chunking together,
+    summa.hpp:195-249)."""
+    m = k = n = 128
+    a = matrix.rand(grid222, m, k, jax.random.key(53)).data
+    b = matrix.rand(grid222, k, n, jax.random.key(54)).data
+    c0 = summa.gemm(grid222, a, b)
+    c1 = summa.gemm(grid222, a, b, num_chunks=2, collect_chunks=2)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_gemm_ring_collect_chunked_matches(grid222):
+    """The ring engine's chunked collect (last rotation step slabbed)."""
+    m = k = n = 128
+    a = matrix.rand(grid222, m, k, jax.random.key(55)).data
+    b = matrix.rand(grid222, k, n, jax.random.key(56)).data
+    c0 = summa.gemm(grid222, a, b, impl="ring")
+    c1 = summa.gemm(grid222, a, b, impl="ring", collect_chunks=2)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_gemm_collect_chunked_flat_grid(grid122):
+    """collect_chunks is a no-op on c == 1 grids (no depth axis)."""
+    m = k = n = 64
+    a = matrix.rand(grid122, m, k, jax.random.key(57)).data
+    b = matrix.rand(grid122, k, n, jax.random.key(58)).data
+    c0 = summa.gemm(grid122, a, b)
+    c1 = summa.gemm(grid122, a, b, collect_chunks=4)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_cholinv_with_collect_chunked_summa(grid222):
+    from capital_tpu.algs import cholinv
+    from capital_tpu import validate
+
+    n = 256
+    a = matrix.symmetric(grid222, n, jax.random.key(59)).data
+    cfg = cholinv.Config(min_bc=64, base_method="xla",
+                         summa_collect_chunks=2)
+    r, _ = cholinv.factor(grid222, a, cfg)
+    assert float(validate.cholesky_residual(grid222, a, r)) < 5e-6
