@@ -113,7 +113,12 @@ def _panel_lu_jax(panel, ib: int | None = None, platform: str | None = None):
 
     m, nb = panel.shape
     if ib is None:
-        ib = int(os.environ.get("CAPITAL_LU_IB", "32"))
+        # on-chip sweep at n=16384 nb=2048: ib=64 374 ms, ib=32 394 ms,
+        # ib=16 (jax leaf era) slower still — the Pallas leaf's per-step
+        # cost is VMEM passes over (ib, mm), but fewer leaves means less
+        # recursion glue; 64 is the knee. (64, 32768) f32 = 8 MB VMEM,
+        # within budget at the n=32768 donate frontier.
+        ib = int(os.environ.get("CAPITAL_LU_IB", "64"))
     acc = jnp.promote_types(panel.dtype, jnp.float32)
     w = panel.astype(acc)
     pivots = jnp.arange(nb, dtype=jnp.int32)
@@ -301,21 +306,25 @@ def factor(grid: Grid, a, cfg: Config = Config()):
         sign = sign * jnp.where(swaps % 2 == 0, 1.0, -1.0).astype(sign.dtype)
 
         # 2. apply the panel permutation to the L-history and trailing
-        # columns (LAPACK's laswp; a take on the row-sharded workspace)
+        # columns (LAPACK's laswp; takes on the row-sharded workspace,
+        # CHUNKED in width — a full-width permuted copy is an extra
+        # m_k x (n-nb) buffer that pushes the n=32768 donate frontier
+        # out of 16-GB HBM)
         with tracing.phase("LU::swap"):
             tracing.record(
                 "lu.swap",
                 comm_bytes=2.0 * m_k * (n - nb) * esz / p_dev, msgs=1)
-            if off > 0:
-                hist = lax.slice(w, (off, 0), (n, off))
-                hist = grid.constrain(jnp.take(hist, pperm, axis=0),
-                                      grid.slice_spec)
-                w = lax.dynamic_update_slice(w, hist, (off, 0))
-            if n2 > 0:
-                trail = lax.slice(w, (off, mid), (n, n))
-                trail = grid.constrain(jnp.take(trail, pperm, axis=0),
-                                       grid.slice_spec)
-                w = lax.dynamic_update_slice(w, trail, (off, mid))
+            cw = 4096
+            for j0_, j1_ in (((0, off) if off > 0 else (0, 0)),
+                             ((mid, n) if n2 > 0 else (0, 0))):
+                j = j0_
+                while j < j1_:
+                    jw = min(cw, j1_ - j)
+                    blk = lax.slice(w, (off, j), (n, j + jw))
+                    blk = grid.constrain(jnp.take(blk, pperm, axis=0),
+                                         grid.slice_spec)
+                    w = lax.dynamic_update_slice(w, blk, (off, j))
+                    j += jw
 
         if n2 == 0:
             break

@@ -93,6 +93,8 @@ def sweep_cholinv(grid: Grid, a, space: dict | None = None,
         "summa_impl": (["gspmd"] if grid.num_devices == 1
                        else ["shard_map", "ring"]),
         "summa_chunks": [1] if grid.num_devices == 1 else [1, 2],
+        # chunked depth collect (ref: the Iallreduce half, summa.hpp:238-249)
+        "summa_collect_chunks": [1] if grid.c <= 1 else [1, 2],
         # collective-concurrency throttle (ref: summa.hpp:179-192)
         "summa_throttle": ([False] if grid.num_devices == 1
                            else [False, True]),
@@ -131,7 +133,7 @@ def cacqr_paths(grid: Grid) -> list[str]:
     paths = ["1d"]
     if grid.is_square and grid.num_devices > 1:
         paths.append("3d")
-    if not grid.is_square and grid.c == grid.d2 and grid.c > 1:
+    if grid.c == grid.d2 and grid.c > 1:
         paths.append("hybrid")
     return paths
 
@@ -256,14 +258,15 @@ def sweep_eigh(grid: Grid, a, space: dict | None = None,
                               "msgs": tot.msgs}
                 # quality column: a candidate that silently degrades (e.g.
                 # falls back to the dense base after failed splits) must
-                # not win on time alone
-                import numpy as np
+                # not win on time alone. Device-side chunked validator —
+                # a host f64 residual is 2 n^2 doubles of traffic per
+                # candidate, quietly impossible at the n >= 16384 shapes
+                # the eigensolver exists for.
+                from capital_tpu import validate as _val
 
-                a64 = np.asarray(a, np.float64)
-                v64 = np.asarray(v, np.float64)
                 cand.costs["residual"] = float(
-                    np.linalg.norm(a64 @ v64 - v64 * np.asarray(
-                        w, np.float64)) / np.linalg.norm(a64))
+                    _val.eig_residual(grid, a, w, v,
+                                      chunks=max(1, a.shape[0] // 2048)))
                 cand.model_time_s = t.model_time(flops_per_s=3.3e13,
                                                  ici_bytes_per_s=9e10)
                 cand.time_s = _measure(lambda: fn, (a,), num_iter)

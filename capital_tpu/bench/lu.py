@@ -37,9 +37,20 @@ def _chunked_residual(grid, w, perm, a, chunk: int = 2048):
         ridx = i0 + jnp.arange(chunk)[:, None]
         l_slab = jnp.where(jnp.arange(n)[None, :] < ridx, rows, 0.0) \
             + (jnp.arange(n)[None, :] == ridx).astype(rows.dtype)
+        # K-chunked L @ triu(W): a monolithic jnp.triu(wf) is a second
+        # full n^2 buffer — at n=32768 donate it OOMs the validator
+        # while the factorization itself fits
+        lu_rows = jnp.zeros((chunk, n), jnp.float32)
         with jax.default_matmul_precision("highest"):
-            lu_rows = l_slab @ jnp.triu(wf)
-        return jnp.sum(jnp.square((pa_rows - lu_rows).astype(jnp.float32)))
+            for k0 in range(0, n, chunk):
+                wk = lax.slice(wf, (k0, 0), (k0 + chunk, n))
+                tri = jnp.where(
+                    jnp.arange(n)[None, :] >= (k0 + jnp.arange(chunk))[:, None],
+                    wk, 0.0)
+                lk = lax.slice(l_slab, (0, k0), (chunk, k0 + chunk))
+                lu_rows = lu_rows + jnp.matmul(
+                    lk, tri, preferred_element_type=jnp.float32)
+        return jnp.sum(jnp.square(pa_rows.astype(jnp.float32) - lu_rows))
 
     total = 0.0
     for i0 in range(0, n, chunk):
@@ -57,6 +68,13 @@ def main(argv=None):
                    choices=["shard_map", "ring", "gspmd"])
     p.add_argument("--solve-k", type=int, default=0,
                    help="also time a k-column solve off the factorization")
+    p.add_argument("--factor-dtype", default=None,
+                   choices=[None, "bfloat16"],
+                   help="solve path: factor a DOWNCAST copy of A and "
+                        "refine against the original (the Wilkinson "
+                        "low-precision-factor recipe; measures whether "
+                        "refinement recovers f32-class residuals from "
+                        "bf16 LU factors)")
     p.add_argument("--refine", type=int, default=2,
                    help="iterative-refinement sweeps in the timed solve "
                         "(0 = raw substitution; random square operands "
@@ -129,6 +147,19 @@ def main(argv=None):
     if args.solve_k:
         b = jax.random.normal(jax.random.key(1), (n, args.solve_k),
                               dtype=dtype)
+        if args.factor_dtype:
+            # re-factor a downcast copy (timed) and solve+refine against
+            # the ORIGINAL operand — the constructive half of the
+            # bf16-storage-LU experiment (BENCH_LOCAL.md negative result)
+            fdt = jnp.dtype(args.factor_dtype)
+            ffn = jax.jit(lambda x, _cfg=cfg: lu.factor(
+                grid, x.astype(fdt), _cfg))
+            fsecs, _, (wf, permf, _s), (a,) = timed_loop(
+                ffn, (a,), args.num_iter)
+            w = wf.astype(dtype)
+            perm = permf
+            report(f"lu_factor_{args.factor_dtype}_n{n}", secs=fsecs,
+                   flops=flops, extra={"nb": nbs[-1]}, as_json=args.json)
 
         def solve_fn(ww, pp, bb, aa):
             x = lu.solve_factored(grid, ww, pp, bb)

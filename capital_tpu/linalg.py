@@ -179,7 +179,8 @@ def powm_spd(grid: Grid, a, p: float, cfg=None):
 
 
 def solve(grid: Grid, a, b, method: str = "auto", refine: int = 2,
-          cfg: cholinv.Config | None = None, polar_cfg=None):
+          cfg: cholinv.Config | None = None, polar_cfg=None,
+          factor_dtype=None):
     """x = A^{-1} b for GENERAL square A ((n, n) slice-sharded; b (n, k)).
 
     The reference factors only SPD (cholinv) and tall-skinny (cacqr)
@@ -203,6 +204,17 @@ def solve(grid: Grid, a, b, method: str = "auto", refine: int = 2,
     method='polar': A = U H (QDWH), x = H^{-1} (U^T b) via spd_solve on
         the polar factor — cond(H) = cond(A), so this holds to
         cond ~ 1e5-class f32 at ~6x the normal-equation cost.
+
+    factor_dtype (method='lu' only): factor a downcast copy of A (e.g.
+        jnp.bfloat16 — 1.8x the f32 factor rate on the MXU) and refine
+        the solve against the ORIGINAL A at f32-faithful precision — the
+        Wilkinson low-precision-factor recipe already proven for SPD
+        operands in spd_solve. CAVEAT, measured (BENCH_LOCAL.md): LU's
+        partial-pivoting element growth times bf16 eps makes the bf16
+        factors too inaccurate for the refinement to contract at
+        n >= ~16k on random operands — the sweeps stall at 1e-1-class
+        residuals. Use for small n or well-conditioned structured A;
+        the f32 factor is the production route.
     """
     a, b = _arr(a), _arr(b)
     if b.ndim == 1:
@@ -222,7 +234,10 @@ def solve(grid: Grid, a, b, method: str = "auto", refine: int = 2,
     if method == "lu":
         from capital_tpu.algs import lu as _lu
 
-        w, perm, _ = _lu.factor(grid, a, _lu.Config(summa_impl=impl))
+        wsrc = a if factor_dtype is None else a.astype(factor_dtype)
+        w, perm, _ = _lu.factor(grid, wsrc, _lu.Config(summa_impl=impl))
+        if w.dtype != a.dtype:
+            w = w.astype(a.dtype)  # substitutions at operand precision
         x = _lu.solve_factored(grid, w, perm, b)
         for _ in range(refine):
             with jax.default_matmul_precision("highest"):

@@ -48,36 +48,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kern(t_ref, ot_ref, pj_ref, piv_ref, done_ref, invp_ref):
-    # All elimination state lives in VMEM refs, NOT in fori_loop carries:
-    # Mosaic materializes loop carries as vector registers, and an
-    # (ib, mm) f32 + three (1, mm) i32 carries blow the register budget
-    # (observed: an scf loop with thousands of vreg operands failing to
-    # lower). Ref-resident state streams through registers one op at a
-    # time instead.
+def _kern(valid_ref, t_ref, ot_ref, pj_ref, piv_ref, done_ref, invp_ref):
+    # Structure notes, all measured the hard way:
+    #  * elimination state lives in VMEM refs, NOT loop carries — Mosaic
+    #    materializes carries as vector registers, and (1, mm) i32
+    #    carries become hundreds of vreg operands that fail to lower;
+    #  * the step loop is PYTHON-UNROLLED so every row index is static:
+    #    step c reads/writes only rows c (the pivot row) and c+1..ib (the
+    #    updated block) — the fori_loop version rewrote the full (ib, mm)
+    #    strip every step, ~2x the VPU work;
+    #  * per-step scalars (pivot index/value, swap positions) are 0-d
+    #    reductions, never (1, 1) vectors — a vector-element broadcast
+    #    compare costs a scalar-register round trip per use;
+    #  * rows past `valid` (bucket padding) start `done`, so they never
+    #    win the argmax and their pj entries stay identity.
     ib, mm = ot_ref.shape
     lane = lax.broadcasted_iota(jnp.int32, (1, mm), 1)
-    sub = lax.broadcasted_iota(jnp.int32, (ib, 1), 0)
     pcol = lax.broadcasted_iota(jnp.int32, (1, ib), 1)
 
+    valid = valid_ref[0]
     ot_ref[...] = t_ref[...]
     pj_ref[...] = lane
     invp_ref[...] = lane
-    done_ref[...] = jnp.zeros((1, mm), jnp.int32)
+    done_ref[...] = (lane >= valid).astype(jnp.int32)
     piv_ref[...] = jnp.zeros((1, ib), jnp.int32)
 
-    def step(c, _):
-        # Every per-step quantity (pivot index, pivot value, swap
-        # positions) is reduced to a 0-d SCALAR, never a (1, 1) vector:
-        # a vector-element broadcast compare (lane == p_vec) costs ~0.5 ms
-        # on a v5e (measured — a scalar-register round trip per use),
-        # while scalar-broadcast compares are free.
-        t = ot_ref[...]
+    for c in range(ib):
+        below = ot_ref[c + 1:ib, :] if c + 1 < ib else None
         done = done_ref[...] != 0
-        pj = pj_ref[...]
-        invp = invp_ref[...]
-        is_row_c = (sub == c).astype(t.dtype)                # (ib, 1)
-        col = jnp.sum(t * is_row_c, axis=0, keepdims=True)   # strip[:, c]
+        col = ot_ref[c:c + 1, :]                             # strip[:, c]
         cand = jnp.where(done, -jnp.inf, jnp.abs(col))
         mx = jnp.max(cand)                                   # scalar
         p = jnp.min(jnp.where(cand == mx, lane, mm))         # scalar
@@ -85,13 +84,16 @@ def _kern(t_ref, ot_ref, pj_ref, piv_ref, done_ref, invp_ref):
         pivval = jnp.sum(jnp.where(is_p, col, 0.0))          # scalar
         safe = jnp.where(pivval == 0.0, jnp.float32(1.0), pivval)
         lvec = jnp.where(done | is_p, 0.0, col / safe)       # multipliers
-        u = jnp.sum(jnp.where(is_p, t, 0.0), axis=1, keepdims=True)
-        t = t - jnp.where(sub > c, u, 0.0) * lvec            # rank-1
-        newrow = jnp.where(done | is_p, col, lvec)
-        ot_ref[...] = t * (1.0 - is_row_c) + is_row_c * newrow
+        if below is not None:
+            u = jnp.sum(jnp.where(is_p, below, 0.0), axis=1,
+                        keepdims=True)                       # (ib-c-1, 1)
+            ot_ref[c + 1:ib, :] = below - u * lvec           # rank-1
+        ot_ref[c:c + 1, :] = jnp.where(done | is_p, col, lvec)
         done_ref[...] = (done | is_p).astype(jnp.int32)
         # LAPACK swap bookkeeping: pivot row p (original index) currently
         # sits at position cur; swap positions c <-> cur.
+        pj = pj_ref[...]
+        invp = invp_ref[...]
         cur = jnp.sum(jnp.where(is_p, invp, 0))              # scalar
         pj_c = jnp.sum(jnp.where(lane == c, pj, 0))          # scalar
         pj_cur = jnp.sum(jnp.where(lane == cur, pj, 0))      # scalar
@@ -100,9 +102,14 @@ def _kern(t_ref, ot_ref, pj_ref, piv_ref, done_ref, invp_ref):
         invp_ref[...] = jnp.where(lane == pj_c, cur,
                                   jnp.where(lane == pj_cur, c, invp))
         piv_ref[...] = piv_ref[...] + jnp.where(pcol == c, cur, 0)
-        return 0
 
-    lax.fori_loop(0, ib, step, 0)
+
+# Strip heights are padded up to a bucket so the recursion's many leaves
+# (every (panel, level) pair has a distinct mm) share a handful of kernel
+# shapes: at n=32768 nb=2048 ib=64 there are 512 leaves but only 16
+# bucketed shapes — a ~30x Mosaic compile-count cut. Padding rows start
+# `done` in-kernel, so they are arithmetic no-ops.
+_BUCKET = 2048
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -111,19 +118,33 @@ def getrf_leaf_pallas(strip: jax.Array, interpret: bool = False):
     column c. Returns (lu (mm, ib) row-swapped, pj (mm,) with
     out = in[pj], pivots (ib,) LAPACK swap targets)."""
     mm, ib = strip.shape
+    mm_pad = mm + (-mm) % _BUCKET
     t = strip.T
+    if mm_pad != mm:
+        t = jnp.pad(t, ((0, 0), (0, mm_pad - mm)))
+    valid = jnp.full((1,), mm, jnp.int32)
     ot, pj, piv = pl.pallas_call(
         _kern,
         out_shape=(
-            jax.ShapeDtypeStruct((ib, mm), t.dtype),
-            jax.ShapeDtypeStruct((1, mm), jnp.int32),
+            jax.ShapeDtypeStruct((ib, mm_pad), t.dtype),
+            jax.ShapeDtypeStruct((1, mm_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, ib), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((1, mm), jnp.int32),   # done mask
-            pltpu.VMEM((1, mm), jnp.int32),   # inverse permutation
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        input_output_aliases={0: 0},
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, mm_pad), jnp.int32),   # done mask
+            pltpu.VMEM((1, mm_pad), jnp.int32),   # inverse permutation
+        ],
+        input_output_aliases={1: 0},
         interpret=interpret,
-    )(t)
-    return jnp.take(ot.T, pj[0], axis=0), pj[0], piv[0]
+    )(valid, t)
+    return (jnp.take(ot.T[:mm], pj[0, :mm], axis=0), pj[0, :mm],
+            piv[0])

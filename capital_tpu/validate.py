@@ -152,3 +152,29 @@ def qr_residual(grid: Grid, a, q, r, impl: str = "shard_map", layout: str = "aut
     else:
         qr = summa.trmm(grid, jnp.triu(r), q, side="R", uplo="U", impl=impl)
     return _fro(qr - a) / _fro(a)
+
+
+def eig_residual(grid: Grid, a, w, v, chunks: int = 1) -> jax.Array:
+    """||A V - V diag(w)||_F / ||A||_F on device, accumulated over column
+    chunks of V (same residual family as the reference's validators,
+    test/inverse/validate.hpp:7-34, applied to eigenpairs). Never
+    materializes an (n, n) product or pulls operands to host — at the
+    n >= 16384 shapes the eigensolver exists for, a host-side f64
+    validator is 2 n^2 doubles of traffic and memory per candidate."""
+    from capital_tpu.ops.precision import dot as _pd
+
+    k = v.shape[1]
+    chunks = max(1, min(chunks, k))
+    while k % chunks:
+        chunks -= 1
+    kb = k // chunks
+
+    def body(i, acc):
+        vc = jax.lax.dynamic_slice(v, (0, i * kb), (v.shape[0], kb))
+        wc = jax.lax.dynamic_slice(w, (i * kb,), (kb,))
+        av = _pd(a, vc, preferred_element_type=jnp.float32)
+        d = av - vc.astype(jnp.float32) * wc.astype(jnp.float32)[None, :]
+        return acc + jnp.sum(d * d)
+
+    num = jnp.sqrt(jax.lax.fori_loop(0, chunks, body, jnp.float32(0)))
+    return num / _fro(a)

@@ -361,3 +361,22 @@ def test_lstsq_tsqr_illconditioned(grid1d8):
     res = np.linalg.norm(a_np @ np.asarray(x, np.float64) - b_np) \
         / np.linalg.norm(b_np)
     assert res < 1e-5, res
+
+
+def test_eig_residual_matches_dense(grid1):
+    """The chunked device-side eigenpair validator equals the dense
+    formula (used by sweep_eigh's quality column instead of a host f64
+    rebuild)."""
+    import numpy as np
+    from capital_tpu import validate
+
+    n = 192
+    u = jax.random.uniform(jax.random.key(0), (n, n), minval=-0.5,
+                           maxval=0.5)
+    a = (u + u.T) * 0.5
+    w, v = jnp.linalg.eigh(a)
+    r_dev = float(validate.eig_residual(grid1, a, w, v, chunks=4))
+    a64, v64 = np.asarray(a, np.float64), np.asarray(v, np.float64)
+    r_ref = float(np.linalg.norm(a64 @ v64 - v64 * np.asarray(w, np.float64))
+                  / np.linalg.norm(a64))
+    assert abs(r_dev - r_ref) < 1e-7 + 0.1 * r_ref
