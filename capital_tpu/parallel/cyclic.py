@@ -204,3 +204,88 @@ def update_window(grid: Grid, phys, val, window, tb: int = TB):
                       in_specs=(grid.slice_spec, grid.slice_spec),
                       out_specs=grid.slice_spec)
     return f(phys, val)
+
+
+def _kern_global_index(ax, d: int, tb: int, length: int):
+    """In-kernel (1, length) global-index row for a local cyclic extent:
+    local position l on device with axis index i holds global index
+    (l//tb * d + i) * tb + l%tb. Used for structure masks in GLOBAL
+    coordinates on physically permuted windows."""
+    l = lax.broadcasted_iota(jnp.int32, (1, length), 1)
+    i = lax.axis_index(ax) if ax is not None and d > 1 else 0
+    return (l // tb * d + i) * tb + l % tb
+
+
+def read_window_tri(grid: Grid, phys, window, uplo: str = "U",
+                    tb: int = TB):
+    """Materialize a cyclic window with its OPPOSITE triangle zeroed —
+    triangular clipping in window-global coordinates on the permuted
+    layout (the serialize-with-structure step, ref: serialize.hpp:12-150,
+    as one local masked slice per device)."""
+    _win_check(grid, phys.shape, window, tb, (grid.d1, grid.d2))
+    r0, c0, h, w = window
+    d1, d2 = grid.d1, grid.d2
+    ax_y, ax_x = grid.ax_y, grid.ax_x
+
+    def kern(blk):
+        sub = _local_slice(blk, window, d1, d2)
+        rows = _kern_global_index(ax_y, d1, tb, sub.shape[0])  # (1, h/d1)
+        cols = _kern_global_index(ax_x, d2, tb, sub.shape[1])  # (1, w/d2)
+        if uplo == "U":
+            keep = rows.T <= cols
+        else:
+            keep = rows.T >= cols
+        return jnp.where(keep, sub, jnp.zeros((), sub.dtype))
+
+    f = jax.shard_map(kern, mesh=grid.mesh, in_specs=grid.slice_spec,
+                      out_specs=grid.slice_spec)
+    return f(phys)
+
+
+def trmm_window(grid: Grid, a, b, *, side: str = "L", uplo: str = "U",
+                trans_a: bool = False, alpha: float = 1.0,
+                a_window=None, b_window=None, num_chunks: int = 1,
+                tb: int = TB):
+    """Distributed triangular multiply on cyclic-layout windows (the
+    summa.trmm schedule with the serialize step replaced by local masked
+    window reads). The triangular operand window is read+masked locally
+    (read_window_tri), transposed via the standard pairwise block
+    exchange when trans_a (summa.transpose works unchanged on cyclic
+    layouts — the (y,x)<->(x,y) partner owns the transposed cyclic
+    block), then contracted with the other operand's ZERO-COPY in-kernel
+    window by gemm_window."""
+    from capital_tpu.parallel import summa as _summa
+
+    if a_window is None:
+        a_window = (0, 0, *a.shape)
+    t = read_window_tri(grid, a, a_window, uplo=uplo, tb=tb)
+    if trans_a:
+        t = _summa.transpose(grid, t)
+    if side == "L":
+        out = gemm_window(grid, t, b, b_window=b_window,
+                          num_chunks=num_chunks, tb=tb)
+    else:
+        out = gemm_window(grid, b, t, a_window=b_window,
+                          num_chunks=num_chunks, tb=tb)
+    if alpha != 1.0:
+        out = alpha * out
+    return out
+
+
+def syrk_window(grid: Grid, a, *, c=None, alpha: float = 1.0,
+                beta: float = 0.0, a_window=None, num_chunks: int = 1,
+                tb: int = TB):
+    """C = alpha * A[win]^T A[win] + beta * C on cyclic layouts (the
+    summa.syrk grid-transpose schedule, window edition)."""
+    from capital_tpu.parallel import summa as _summa
+
+    if a_window is None:
+        a_window = (0, 0, *a.shape)
+    aw = read_window(grid, a, a_window, tb=tb)
+    at = _summa.transpose(grid, aw)
+    out = gemm_window(grid, at, aw, num_chunks=num_chunks, tb=tb)
+    if alpha != 1.0:
+        out = alpha * out
+    if c is not None and beta != 0.0:
+        out = out + beta * c
+    return out
