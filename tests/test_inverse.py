@@ -100,3 +100,20 @@ def test_trsm_trace_is_panel_count_independent(grid122):
     x = trsm.solve(grid122, t, b, cfg=cfg)
     ref = np.linalg.solve(np.asarray(t, np.float64), np.asarray(b, np.float64))
     np.testing.assert_allclose(np.asarray(x), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_trsm_unit_diag_packed_workspace(grid122):
+    """unit_diag reads only the strict triangle (the packed-LU workspace
+    convention): solving with a workspace whose diagonal/upper hold
+    unrelated values equals solving with the explicit unit-lower L."""
+    from capital_tpu import matrix
+    from capital_tpu.algs import trsm
+
+    n, k = 128, 8
+    w = matrix.rand(grid122, n, n, jax.random.key(31)).data
+    b = matrix.rand(grid122, n, k, jax.random.key(32)).data
+    l = jnp.tril(w, -1) + jnp.eye(n, dtype=w.dtype)
+    x0 = trsm.solve(grid122, l, b, lower=True)
+    x1 = trsm.solve(grid122, w, b, lower=True, unit_diag=True)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
+                               rtol=1e-6, atol=1e-6)
