@@ -115,6 +115,14 @@ class Config:
     # solver's cross-split correction needs the complement's eigenbasis,
     # which partial never computes).
     partial_refine: int = 2
+    # eigh_partial: storage dtype for the sign PROBES and the split
+    # rotation (e.g. 'bfloat16'). The QDWH sign iterates are the peak
+    # live set (~3 n^2 buffers) — at n=32768 f32 they exceed 16-GB HBM,
+    # while bf16 probes fit; a probe only needs the eigenvalue COUNT and
+    # the split only an approximate invariant subspace, and the
+    # partial_refine Rayleigh-Ritz sweeps re-extract eigenpairs against
+    # the FULL-precision operand. None -> operand dtype.
+    probe_dtype: str | None = None
     polar: _polar.Config = field(
         default_factory=lambda: _polar.Config(compute_h=False))
     seed: int = 7
@@ -612,6 +620,15 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
         loose = max(1e-5, 10.0 * float(jnp.finfo(a.dtype).eps))
         cfg_probe = dataclasses.replace(cfg, sign_l0=loose)
 
+    # Mixed-precision probes (cfg.probe_dtype): the sign iterates are the
+    # peak live set; a bf16 probe operand fits n=32768 in 16-GB HBM where
+    # f32 cannot, and the partial_refine sweeps below re-extract the
+    # eigenpairs against the full-precision `a`.
+    a_probe = a
+    if (cfg.probe_dtype is not None
+            and jnp.dtype(cfg.probe_dtype) != a.dtype):
+        a_probe = grid.constrain(a.astype(cfg.probe_dtype), _spec(grid))
+
     key = jax.random.key(cfg.seed)
     scale = float(jnp.linalg.norm(a.astype(jnp.float32))) or 1.0
     d, lo, hi = _diag_and_bounds(grid, a)
@@ -628,7 +645,7 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
                                         lo_b, hi_b)
     probes: list[tuple[float, int]] = []
     for _ in range(tries):
-        u, tr = _stage_sign(grid, a, jnp.float32(sigma), cfg_probe)
+        u, tr = _stage_sign(grid, a_probe, jnp.float32(sigma), cfg_probe)
         tr_f = float(tr)
         if not math.isfinite(tr_f):
             sigma = sigma + 1e-3 * (hi_b - lo_b or 1.0)
@@ -686,7 +703,7 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
     if cfg_probe is not cfg:
         # recompute the accepted sign at the tight resolution for the
         # split; its count can shift by the few near-sigma eigenvalues
-        u_t, tr_t = _stage_sign(grid, a, jnp.float32(sigma), cfg)
+        u_t, tr_t = _stage_sign(grid, a_probe, jnp.float32(sigma), cfg)
         m_t = max(0, min(n, int(round((n + float(tr_t)) / 2.0))))
         if k <= m_t < n:
             u, m = u_t, m_t
@@ -704,7 +721,7 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
     accept_tol = cfg.off_tol * (10.0 if cfg.partial_refine > 0 else 1.0)
     for attempt in range(cfg.shift_tries + 1):
         key, kchild, ksplit = jax.random.split(key, 3)
-        b11, _, v, _, off = _stage_split(grid, a, u, ksplit, cfg, m)
+        b11, _, v, _, off = _stage_split(grid, a_probe, u, ksplit, cfg, m)
         off_f = float(off)
         if math.isfinite(off_f) and off_f <= accept_tol * scale:
             break
@@ -716,7 +733,7 @@ def eigh_partial(grid: Grid, a, k: int, cfg: Config = Config(),
         # re-probe the sign
         sigma = sigma + max(0.1 * (float(hi) - sigma),
                             1e-3 * (float(hi) - float(lo)))
-        u_new, tr = _stage_sign(grid, a, jnp.float32(sigma), cfg)
+        u_new, tr = _stage_sign(grid, a_probe, jnp.float32(sigma), cfg)
         m_new = max(0, min(n, int(round((n + float(tr)) / 2.0))))
         if not (k <= m_new < n):
             continue  # nudged past the k-th eigenvalue: retry the old sign

@@ -75,6 +75,7 @@ class Config:
     summa_impl: str = "shard_map"
     summa_chunks: int = 1
     summa_throttle: bool = False
+    summa_collect_chunks: int = 1
 
     def panel(self, grid: Grid, n: int) -> int:
         """Largest panel <= nb dividing n with d | nb and d*c | nb (the
@@ -99,13 +100,11 @@ def _panel_lu_jax(panel, ib: int | None = None, platform: str | None = None):
     Schedule: recursive width halving unrolled at trace time — factor the
     left half, pivot-gather + unit-lower solve + MXU gemm on the right
     half, factor the right half, back-apply its pivots to the left. The
-    rank-1 pivot/scale elimination loop runs only at ib-wide leaves
-    (default 16). The leaf loop is HBM-bandwidth-bound at ~8*m*ib^2
-    bytes per leaf (each of the ib steps rewrites the (m, ib) strip), so
-    total panel rank-1 traffic is 8*m*nb*ib — the round-4 single-level
-    jb=128 slabs moved 8x more and were the factorization's second cost
-    center after the Schur gemms (~0.4 s of 1.33 s at n=24576). EXACT
-    partial pivoting — same ordering as LAPACK up to |.|-ties.
+    rank-1 pivot/scale elimination runs only at ib-wide leaves (default
+    64), each leaf ONE Pallas kernel with the strip resident in VMEM
+    (ops/pallas_getrf.py) on TPU, or the masked fori_loop below on
+    CPU/f64. EXACT partial pivoting — same ordering as LAPACK up to
+    |.|-ties.
 
     Returns (lu (m, nb) row-permuted, perm (m,), pivots (nb,)) with
     lax.linalg.lu's return convention."""
@@ -131,10 +130,14 @@ def _panel_lu_jax(panel, ib: int | None = None, platform: str | None = None):
     use_pallas = (leaf_mode != "jax" and acc == jnp.float32
                   and platform in ("tpu", "axon"))
 
-    from capital_tpu.ops.precision import prec
-
-    p = prec()
-    pname = p.name.lower() if hasattr(p, "name") else str(p).lower()
+    # The panel is the pivoting-critical path: multipliers computed from
+    # its trailing updates steer every later pivot decision, and errors
+    # there amplify through the triangular structure. Its gemms stay
+    # f32-faithful REGARDLESS of the ambient --precision knob (measured
+    # n=16384: letting the panel follow 'high' costs 100x residual,
+    # 8.6e-5 -> 8.0e-3, while the panel's m*nb^2 flops are ~1/16 of the
+    # total — the Schur gemms keep the ambient precision and the speed).
+    pname = "highest"
 
     def leaf(w, pivots, j0, jw):
         """Rank-1 elimination of columns [j0, j0+jw) over rows [j0, m).
@@ -270,7 +273,8 @@ def factor(grid: Grid, a, cfg: Config = Config()):
     nb = cfg.panel(grid, n)
     num_p = n // nb
     kw = dict(impl=cfg.summa_impl, num_chunks=cfg.summa_chunks,
-              throttle=cfg.summa_throttle)
+              throttle=cfg.summa_throttle,
+              collect_chunks=cfg.summa_collect_chunks)
 
     perm = jnp.arange(n, dtype=jnp.int32)
     sign = jnp.ones((), dtype=w.dtype)
@@ -330,8 +334,11 @@ def factor(grid: Grid, a, cfg: Config = Config()):
             break
 
         # 3. U row panel: U_k = L_kk^{-1} W[off:mid, mid:] (the TRSM step,
-        # ref: cholinv.hpp:116-123 — inverse-multiply form)
-        with tracing.phase("LU::trsm"):
+        # ref: cholinv.hpp:116-123 — inverse-multiply form). Pinned
+        # f32-faithful like the panel: the U row feeds every remaining
+        # Schur update, so its error compounds across panels.
+        with tracing.phase("LU::trsm"), \
+                jax.default_matmul_precision("highest"):
             l_kk = jnp.tril(lu_pan[:nb], -1) + jnp.eye(nb, dtype=w.dtype)
             l_inv = lapack.trtri(l_kk, lower=True)
             l_inv = grid.constrain(l_inv, grid.slice_spec)

@@ -34,6 +34,13 @@ def main(argv=None):
                    help="spectrum end for --op partial")
     p.add_argument("--base-n", type=int, default=1024,
                    help="replicated dense base-case size")
+    p.add_argument("--probe-dtype", default=None, choices=[None, "bfloat16"],
+                   help="--op partial: storage dtype for the sign probes "
+                        "and split (bf16 fits n=32768 in 16-GB HBM; the "
+                        "RR refinement re-extracts against the full-"
+                        "precision operand)")
+    p.add_argument("--refine", type=int, default=None,
+                   help="--op partial: Rayleigh-Ritz refinement sweeps")
     p.add_argument("--summa-impl", default="gspmd",
                    choices=["gspmd", "shard_map", "ring"])
     p.add_argument("--base-method", default="auto",
@@ -55,9 +62,14 @@ def main(argv=None):
     n = args.n
     chol_cfg = cholinv.Config(summa_impl=args.summa_impl,
                               base_method=args.base_method)
+    ekw = {}
+    if args.probe_dtype:
+        ekw["probe_dtype"] = args.probe_dtype
+    if args.refine is not None:
+        ekw["partial_refine"] = args.refine
     ecfg = eigh.Config(
         base_n=args.base_n,
-        polar=polar.Config(compute_h=False, chol=chol_cfg))
+        polar=polar.Config(compute_h=False, chol=chol_cfg), **ekw)
 
     if args.op in ("eigh", "partial"):
         # spread (Wigner-class) spectrum: the honest D&C workload — a

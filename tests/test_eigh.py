@@ -255,3 +255,23 @@ def test_eigh_partial_k_beyond_half(grid122):
     assert np.asarray(w).shape == (k,)
     assert np.abs(np.asarray(w, np.float64) - w_true).max() \
         < 1e-4 * np.linalg.norm(a_np)
+
+
+def test_eigh_partial_bf16_probes(grid1):
+    """Mixed-precision partial solve: bf16 sign probes + split (the
+    n=32768 HBM-fit path) with Rayleigh-Ritz refinement re-extracting
+    against the f32 operand recovers f32-class eigenpairs."""
+    from capital_tpu import matrix
+
+    n, k = 256, 16
+    a = matrix.symmetric(grid1, n, jax.random.key(77), diag_shift=0.0).data
+    cfg = eigh.Config(base_n=64, probe_dtype="bfloat16", partial_refine=2)
+    w, x = eigh.eigh_partial(grid1, a, k, cfg, which="top")
+    a64 = np.asarray(a, np.float64)
+    x64 = np.asarray(x, np.float64)
+    res = (np.linalg.norm(a64 @ x64 - x64 * np.asarray(w, np.float64))
+           / np.linalg.norm(a64))
+    assert res < 5e-4, res
+    w_ref = np.linalg.eigvalsh(a64)[-k:]
+    assert np.max(np.abs(np.sort(np.asarray(w, np.float64)) - w_ref)
+                  / np.abs(w_ref)) < 1e-3
