@@ -186,10 +186,19 @@ def _panel_lu_jax(panel, ib: int | None = None, platform: str | None = None):
         w = lax.dynamic_update_slice(w, sp, (j0, j0))
         return w, pivots, pj
 
+    # wide-leaf mode (CAPITAL_LU_WIDE_LEAF=1): strips with <= 16384 rows
+    # take 128-wide Pallas leaves ((128, 16384) f32 = 8 MB VMEM) — half
+    # the leaf count and recursion glue for the lower panels. Exists to
+    # shrink the n=32768 trace, whose 512-leaf graph overwhelms the
+    # remote compile service.
+    wide = use_pallas and ib < 128 and os.environ.get(
+        "CAPITAL_LU_WIDE_LEAF", "0") == "1"
+
     def rec(w, pivots, j0, jw):
-        if jw <= ib:
+        lw = 128 if (wide and m - j0 <= 16384) else ib
+        if jw <= lw:
             return leaf(w, pivots, j0, jw)
-        half = min(((jw // 2) + ib - 1) // ib * ib, jw - 1)
+        half = min(((jw // 2) + lw - 1) // lw * lw, jw - 1)
         w, pivots, pj1 = rec(w, pivots, j0, half)
         # right half: laswp by the left pivots, unit-lower solve, Schur
         right = lax.slice(w, (j0, j0 + half), (m, j0 + jw))
