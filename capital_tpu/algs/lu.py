@@ -186,13 +186,13 @@ def _panel_lu_jax(panel, ib: int | None = None, platform: str | None = None):
         w = lax.dynamic_update_slice(w, sp, (j0, j0))
         return w, pivots, pj
 
-    # wide-leaf mode (CAPITAL_LU_WIDE_LEAF=1): strips with <= 16384 rows
-    # take 128-wide Pallas leaves ((128, 16384) f32 = 8 MB VMEM) — half
-    # the leaf count and recursion glue for the lower panels. Exists to
-    # shrink the n=32768 trace, whose 512-leaf graph overwhelms the
-    # remote compile service.
+    # wide-leaf mode (default on; CAPITAL_LU_WIDE_LEAF=0 disables):
+    # strips with <= 16384 rows take 128-wide Pallas leaves
+    # ((128, 16384) f32 = 8 MB VMEM) — half the leaf count and recursion
+    # glue wherever the strip fits. Exists to shrink the n>=24576 trace,
+    # whose hundreds-of-leaves graph can overwhelm the compile service.
     wide = use_pallas and ib < 128 and os.environ.get(
-        "CAPITAL_LU_WIDE_LEAF", "0") == "1"
+        "CAPITAL_LU_WIDE_LEAF", "1") == "1"
 
     def rec(w, pivots, j0, jw):
         lw = 128 if (wide and m - j0 <= 16384) else ib

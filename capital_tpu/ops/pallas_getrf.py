@@ -106,10 +106,11 @@ def _kern(valid_ref, t_ref, ot_ref, pj_ref, piv_ref, done_ref, invp_ref):
 
 # Strip heights are padded up to a bucket so the recursion's many leaves
 # (every (panel, level) pair has a distinct mm) share a handful of kernel
-# shapes: at n=32768 nb=2048 ib=64 there are 512 leaves but only 16
-# bucketed shapes — a ~30x Mosaic compile-count cut. Padding rows start
-# `done` in-kernel, so they are arithmetic no-ops.
-_BUCKET = 2048
+# shapes: at n=32768 there are hundreds of leaves but only ~8 bucketed
+# shapes — a big Mosaic compile-count cut. Padding rows start `done`
+# in-kernel, so they are arithmetic no-ops (cost: one extra in/out pass
+# over <= bucket rows per leaf).
+_BUCKET = 4096
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
