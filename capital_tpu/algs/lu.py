@@ -186,16 +186,27 @@ def _panel_lu_jax(panel, ib: int | None = None, platform: str | None = None):
         w = lax.dynamic_update_slice(w, sp, (j0, j0))
         return w, pivots, pj
 
-    # wide-leaf mode (default on; CAPITAL_LU_WIDE_LEAF=0 disables):
-    # strips with <= 16384 rows take 128-wide Pallas leaves
-    # ((128, 16384) f32 = 8 MB VMEM) — half the leaf count and recursion
-    # glue wherever the strip fits. Exists to shrink the n>=24576 trace,
-    # whose hundreds-of-leaves graph can overwhelm the compile service.
-    wide = use_pallas and ib < 128 and os.environ.get(
-        "CAPITAL_LU_WIDE_LEAF", "1") == "1"
+    # Leaf width by scoped-VMEM budget: the Pallas kernel's stack holds
+    # ~3 live (lw, mm_pad) f32 buffers, against a 16-MB scoped limit
+    # (budget 13 MB with margin; a (64, 24576) unrolled variant measured
+    # 49.7M and failed to compile). Wider leaves where the strip is
+    # short (fewer leaves, less recursion glue — also what keeps the
+    # n>=24576 trace within the compile service's appetite); narrower
+    # where it is tall. CAPITAL_LU_WIDE_LEAF=0 caps at CAPITAL_LU_IB.
+    max_lw = (128 if os.environ.get("CAPITAL_LU_WIDE_LEAF", "1") == "1"
+              else ib)
+
+    def leaf_width(j0: int) -> int:
+        if not use_pallas:
+            return ib
+        mm_pad = (m - j0) + (-(m - j0)) % 4096
+        for lw in (128, 64, 32):
+            if lw <= max_lw and 3 * lw * mm_pad * 4 <= 13 * 2**20:
+                return lw
+        return 16
 
     def rec(w, pivots, j0, jw):
-        lw = 128 if (wide and m - j0 <= 16384) else ib
+        lw = leaf_width(j0)
         if jw <= lw:
             return leaf(w, pivots, j0, jw)
         half = min(((jw // 2) + lw - 1) // lw * lw, jw - 1)

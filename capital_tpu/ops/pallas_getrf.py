@@ -66,6 +66,7 @@ def _kern(valid_ref, t_ref, ot_ref, pj_ref, piv_ref, done_ref, invp_ref):
     lane = lax.broadcasted_iota(jnp.int32, (1, mm), 1)
     pcol = lax.broadcasted_iota(jnp.int32, (1, ib), 1)
 
+    sub = lax.broadcasted_iota(jnp.int32, (ib, 1), 0)
     valid = valid_ref[0]
     ot_ref[...] = t_ref[...]
     pj_ref[...] = lane
@@ -73,10 +74,15 @@ def _kern(valid_ref, t_ref, ot_ref, pj_ref, piv_ref, done_ref, invp_ref):
     done_ref[...] = (lane >= valid).astype(jnp.int32)
     piv_ref[...] = jnp.zeros((1, ib), jnp.int32)
 
-    for c in range(ib):
-        below = ot_ref[c + 1:ib, :] if c + 1 < ib else None
+    # fori_loop (NOT a Python unroll): Mosaic allocates a scoped-VMEM
+    # stack slot per live intermediate, and an unrolled body held ~8
+    # (ib, mm) values live (measured: a (64, 24576) leaf requested
+    # 49.7M of the 16M scoped limit); the loop body keeps ~3.
+    def step(c, _):
+        t = ot_ref[...]
         done = done_ref[...] != 0
-        col = ot_ref[c:c + 1, :]                             # strip[:, c]
+        is_row_c = (sub == c).astype(t.dtype)                # (ib, 1)
+        col = jnp.sum(t * is_row_c, axis=0, keepdims=True)   # strip[:, c]
         cand = jnp.where(done, -jnp.inf, jnp.abs(col))
         mx = jnp.max(cand)                                   # scalar
         p = jnp.min(jnp.where(cand == mx, lane, mm))         # scalar
@@ -84,11 +90,10 @@ def _kern(valid_ref, t_ref, ot_ref, pj_ref, piv_ref, done_ref, invp_ref):
         pivval = jnp.sum(jnp.where(is_p, col, 0.0))          # scalar
         safe = jnp.where(pivval == 0.0, jnp.float32(1.0), pivval)
         lvec = jnp.where(done | is_p, 0.0, col / safe)       # multipliers
-        if below is not None:
-            u = jnp.sum(jnp.where(is_p, below, 0.0), axis=1,
-                        keepdims=True)                       # (ib-c-1, 1)
-            ot_ref[c + 1:ib, :] = below - u * lvec           # rank-1
-        ot_ref[c:c + 1, :] = jnp.where(done | is_p, col, lvec)
+        u = jnp.sum(jnp.where(is_p, t, 0.0), axis=1, keepdims=True)
+        t = t - jnp.where(sub > c, u, 0.0) * lvec            # rank-1
+        newrow = jnp.where(done | is_p, col, lvec)
+        ot_ref[...] = t * (1.0 - is_row_c) + is_row_c * newrow
         done_ref[...] = (done | is_p).astype(jnp.int32)
         # LAPACK swap bookkeeping: pivot row p (original index) currently
         # sits at position cur; swap positions c <-> cur.
@@ -102,6 +107,9 @@ def _kern(valid_ref, t_ref, ot_ref, pj_ref, piv_ref, done_ref, invp_ref):
         invp_ref[...] = jnp.where(lane == pj_c, cur,
                                   jnp.where(lane == pj_cur, c, invp))
         piv_ref[...] = piv_ref[...] + jnp.where(pcol == c, cur, 0)
+        return 0
+
+    lax.fori_loop(0, ib, step, 0)
 
 
 # Strip heights are padded up to a bucket so the recursion's many leaves
