@@ -366,14 +366,31 @@ def factor(grid: Grid, a, cfg: Config = Config()):
                 grid, l_inv, lax.slice(w, (off, mid), (mid, n)), **kw)
             w = lax.dynamic_update_slice(w, u_row, (off, mid))
 
-        # 4. Schur update: one rank-nb summa gemm (the dominant flops,
-        # ref: the Schur SYRK of cholinv.hpp:131-134, unsymmetric here)
+        # 4. Schur update: rank-nb summa gemms (the dominant flops,
+        # ref: the Schur SYRK of cholinv.hpp:131-134, unsymmetric here),
+        # ROW-SLABBED so the (m2, n2) product is never fully live next to
+        # the workspace — monolithic, the top panel's 3.8-GB product +
+        # its A22 slice push the n=32768 donate run out of 16-GB HBM.
+        # Slabs are whole multiples of nb (keeps summa divisibility).
         with tracing.phase("LU::schur"):
-            l_below = lax.slice(w, (mid, off), (n, mid))
-            a22 = lax.slice(w, (mid, mid), (n, n))
-            s = summa.gemm(grid, l_below, u_row, c=a22, alpha=-1.0,
-                           beta=1.0, **kw)
-            w = lax.dynamic_update_slice(w, s, (mid, mid))
+            import os as _os
+
+            m2 = n - mid
+            target = int(_os.environ.get("CAPITAL_LU_SCHUR_MB",
+                                         "512")) * 2**20
+            rc = m2
+            if m2 * n2 * esz > target:
+                rc = max(1, target // max(n2 * esz, 1)) // nb * nb
+                rc = max(nb, rc)
+            j = 0
+            while j < m2:
+                jr = min(rc, m2 - j)
+                lb = lax.slice(w, (mid + j, off), (mid + j + jr, mid))
+                a22 = lax.slice(w, (mid + j, mid), (mid + j + jr, n))
+                s = summa.gemm(grid, lb, u_row, c=a22, alpha=-1.0,
+                               beta=1.0, **kw)
+                w = lax.dynamic_update_slice(w, s, (mid + j, mid))
+                j += jr
         w = grid.constrain(w, grid.slice_spec)
 
     return grid.constrain(w, grid.slice_spec), perm, sign
