@@ -112,6 +112,11 @@ def timed_loop(fn, args, num_iter: int, warmup: int = 1, make_args=None):
     force(out)
     times = []
     for i in range(num_iter):
+        # free the previous call's outputs BEFORE regenerating: at the
+        # donate frontier (n=32768 f32) holding last iteration's n^2
+        # results across the next call is the difference between fitting
+        # HBM and ResourceExhausted
+        del out
         fresh = make_args(i)
         force(fresh)
         t0 = time.perf_counter()
