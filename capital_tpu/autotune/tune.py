@@ -101,6 +101,12 @@ def sweep_cholinv(grid: Grid, a, space: dict | None = None,
         # the reference's BaseCasePolicy axis (policy.h:160-514)
         "base_policy": (["replicated"] if grid.num_devices == 1
                         else ["replicated", "layer"]),
+        # workspace layout: block-sharded vs block-cyclic (zero-resharding
+        # recursion windows, algs/cholinv_cyclic.py — the `_restrict_`
+        # economics of ref matrix.hpp:171-180; square multi-device only)
+        "workspace": (["block", "cyclic"]
+                      if grid.num_devices > 1 and grid.is_square
+                      else ["block"]),
         # MXU pass-count ladder (ops/precision.py; reaches the Pallas
         # triangle kernels through ops/pallas_dot.py) — a tuning axis the
         # reference cannot have (MKL is always f64)
@@ -112,11 +118,19 @@ def sweep_cholinv(grid: Grid, a, space: dict | None = None,
         params = dict(zip(keys, vals))
         cand = Candidate(params=params)
         try:
-            cfg_params = {k: v for k, v in params.items() if k != "precision"}
+            cfg_params = {k: v for k, v in params.items()
+                          if k not in ("precision", "workspace")}
             cfg = cholinv.Config(**cfg_params)
+            if params.get("workspace", "block") == "cyclic":
+                from capital_tpu.algs import cholinv_cyclic
+
+                factor = cholinv_cyclic.factor
+            else:
+                factor = cholinv.factor
             with jax.default_matmul_precision(params.get("precision",
                                                          "highest")):
-                fn = jax.jit(lambda x, cfg=cfg: cholinv.factor(grid, x, cfg))
+                fn = jax.jit(lambda x, cfg=cfg, factor=factor:
+                             factor(grid, x, cfg))
                 cand.costs, cand.model_time_s = _trace_costs(fn, (a,))
                 cand.time_s = _measure(lambda: fn, (a,), num_iter)
         except Exception as e:  # config invalid for this shape: record, move on

@@ -82,3 +82,18 @@ def test_sweep_eigh(grid122):
     assert not [c.error for c in cands if c.error]
     assert all(c.time_s < float("inf") for c in cands)
     assert all(c.costs.get("gflop", 0) > 0 for c in cands)
+
+
+def test_sweep_cholinv_workspace_axis(grid122):
+    """The workspace axis dispatches the cyclic-layout recursion
+    (algs/cholinv_cyclic.py) alongside the block-sharded flagship."""
+    a = matrix.symmetric(grid122, 128, jax.random.key(2)).data
+    space = {
+        "bc_mult": [0], "base_method": ["xla"], "min_bc": [64],
+        "summa_impl": ["shard_map"],
+        "workspace": ["block", "cyclic"],
+    }
+    cands = tune.sweep_cholinv(grid122, a, space, num_iter=1)
+    assert len(cands) == 2
+    assert not [c.error for c in cands if c.error]
+    assert {c.params["workspace"] for c in cands} == {"block", "cyclic"}
