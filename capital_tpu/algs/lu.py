@@ -301,6 +301,23 @@ def factor(grid: Grid, a, cfg: Config = Config()):
     esz = w.dtype.itemsize
     p_dev = max(grid.num_devices, 1)
 
+    # Lookahead (right-looking with split Schur, the classic getrf
+    # pipelining — ref: the overlap discipline of cholinv.hpp:131-134
+    # generalized to the pivoted panel chain): panel k+1's columns are
+    # Schur-updated by a SEPARATE narrow gemm and factored BEFORE the
+    # remainder's slab updates run. Without it, panel k+1 reads the
+    # workspace after the whole slab dynamic_update_slice chain — a
+    # false dependency that serializes the replicated panel (all-gather
+    # + VPU elimination) behind every Schur slab; splitting it lets
+    # XLA's scheduler hoist the panel's collective and elimination over
+    # the independent remainder gemms (the win site is multi-chip
+    # meshes, where the panel is replicated compute and the remainder
+    # is sharded MXU work).
+    import os as _os
+
+    lookahead = _os.environ.get("CAPITAL_LU_LOOKAHEAD", "0") == "1"
+    factored = None  # (lu_pan, pperm, pivots) produced by lookahead
+
     for k in range(num_p):
         off, mid = k * nb, (k + 1) * nb
         m_k = n - off
@@ -316,8 +333,12 @@ def factor(grid: Grid, a, cfg: Config = Config()):
                     m_k * nb * esz / p_dev, p_dev),
                 msgs=1,
             )
-            panel = lax.slice(w, (off, off), (n, mid))
-            lu_pan, pperm, pivots = _panel_lu(grid, panel)
+            if factored is None:
+                panel = lax.slice(w, (off, off), (n, mid))
+                lu_pan, pperm, pivots = _panel_lu(grid, panel)
+            else:
+                lu_pan, pperm, pivots = factored
+                factored = None
             w = lax.dynamic_update_slice(
                 w, grid.constrain(lu_pan, grid.slice_spec), (off, off))
 
@@ -373,23 +394,40 @@ def factor(grid: Grid, a, cfg: Config = Config()):
         # its A22 slice push the n=32768 donate run out of 16-GB HBM.
         # Slabs are whole multiples of nb (keeps summa divisibility).
         with tracing.phase("LU::schur"):
-            import os as _os
-
             m2 = n - mid
+            la_step = lookahead and (k + 1) < num_p
+            if la_step:
+                # Lookahead: Schur-update ONLY panel k+1's nb columns
+                # (one narrow gemm), factor them immediately, then run
+                # the remainder slabs — the factored panel is written
+                # into w at the top of iteration k+1, so the stale
+                # next-panel columns in w are never read.
+                lb_full = lax.slice(w, (mid, off), (n, mid))
+                u_np = lax.slice(u_row, (0, 0), (nb, nb))
+                a_np = summa.gemm(
+                    grid, lb_full, u_np,
+                    c=lax.slice(w, (mid, mid), (n, mid + nb)),
+                    alpha=-1.0, beta=1.0, **kw)
+                factored = _panel_lu(grid, a_np)
+                col0, n2r = mid + nb, n2 - nb
+                u_rem = lax.slice(u_row, (0, nb), (nb, n2))
+            else:
+                col0, n2r = mid, n2
+                u_rem = u_row
             target = int(_os.environ.get("CAPITAL_LU_SCHUR_MB",
                                          "512")) * 2**20
             rc = m2
-            if m2 * n2 * esz > target:
-                rc = max(1, target // max(n2 * esz, 1)) // nb * nb
+            if m2 * n2r * esz > target:
+                rc = max(1, target // max(n2r * esz, 1)) // nb * nb
                 rc = max(nb, rc)
             j = 0
-            while j < m2:
+            while j < m2 and n2r > 0:
                 jr = min(rc, m2 - j)
                 lb = lax.slice(w, (mid + j, off), (mid + j + jr, mid))
-                a22 = lax.slice(w, (mid + j, mid), (mid + j + jr, n))
-                s = summa.gemm(grid, lb, u_row, c=a22, alpha=-1.0,
+                a22 = lax.slice(w, (mid + j, col0), (mid + j + jr, n))
+                s = summa.gemm(grid, lb, u_rem, c=a22, alpha=-1.0,
                                beta=1.0, **kw)
-                w = lax.dynamic_update_slice(w, s, (mid + j, mid))
+                w = lax.dynamic_update_slice(w, s, (mid + j, col0))
                 j += jr
         w = grid.constrain(w, grid.slice_spec)
 

@@ -176,3 +176,22 @@ def test_chunked_residual_matches_dense(grid1):
     # every element of PA - LU is itself an eps-level cancellation — the
     # two norms agree in magnitude (the validator's job), not in digits
     assert abs(dense - chunked) / dense < 0.3
+
+
+def test_lu_lookahead_matches(grid222, monkeypatch):
+    """CAPITAL_LU_LOOKAHEAD=1 (split Schur: next-panel gemm + factor
+    before the remainder slabs) produces the same factorization as the
+    monolithic schedule — same pivots, same workspace, on a 2x2x2 mesh."""
+    n = 256
+    a = _gen(n, seed=3)
+    cfg = lu.Config(nb=64)
+    w0, p0, s0 = lu.factor(grid222, a, cfg)
+    monkeypatch.setenv("CAPITAL_LU_LOOKAHEAD", "1")
+    w1, p1, s1 = lu.factor(grid222, a, cfg)
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
+    assert float(s0) == float(s1)
+    # the narrow gemm's device tiling differs from the slab's, so the
+    # f32 accumulation order differs and compounds through the panel
+    # chain — assert the factorization quality, not bitwise agreement
+    assert _lu_residual(a, w1, p1) < 5e-6
+    assert _lu_residual(a, w0, p0) < 5e-6
