@@ -85,7 +85,15 @@ def main(argv=None):
     p.add_argument("--donate", action="store_true",
                    help="donate the input buffer (A is the workspace; "
                         "n=32768 f32 does not fit otherwise)")
+    p.add_argument("--lookahead", action="store_true",
+                   help="split-Schur lookahead: factor panel k+1 off a "
+                        "narrow gemm before the remainder slabs "
+                        "(CAPITAL_LU_LOOKAHEAD=1)")
     args = p.parse_args(argv)
+    if args.lookahead:
+        import os
+
+        os.environ["CAPITAL_LU_LOOKAHEAD"] = "1"
     apply_precision(args)
 
     ndev = len(jax.devices())
