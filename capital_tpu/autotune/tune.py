@@ -207,20 +207,28 @@ def sweep_lu(grid: Grid, a, space: dict | None = None,
     shape as sweep_cholinv)."""
     from capital_tpu.algs import lu
 
+    import os
+
     space = space or {
         "nb": [512, 1024, 2048],
         "summa_impl": (["gspmd"] if grid.num_devices == 1
                        else ["shard_map", "ring"]),
         "precision": ["highest", "high"],
+        "lookahead": [False, True],
     }
     out = []
     keys = list(space)
     for vals in itertools.product(*(space[k] for k in keys)):
         params = dict(zip(keys, vals))
         cand = Candidate(params=params)
+        prev_la = os.environ.get("CAPITAL_LU_LOOKAHEAD")
         try:
-            cfg_params = {k: v for k, v in params.items() if k != "precision"}
+            cfg_params = {k: v for k, v in params.items()
+                          if k not in ("precision", "lookahead")}
             cfg = lu.Config(**cfg_params)
+            if "lookahead" in params:
+                os.environ["CAPITAL_LU_LOOKAHEAD"] = \
+                    "1" if params["lookahead"] else "0"
             with jax.default_matmul_precision(params.get("precision",
                                                          "highest")):
                 fn = jax.jit(lambda x, cfg=cfg: lu.factor(grid, x, cfg))
@@ -228,6 +236,11 @@ def sweep_lu(grid: Grid, a, space: dict | None = None,
                 cand.time_s = _measure(lambda: fn, (a,), num_iter)
         except Exception as e:
             cand.error = f"{type(e).__name__}: {e}"
+        finally:
+            if prev_la is None:
+                os.environ.pop("CAPITAL_LU_LOOKAHEAD", None)
+            else:
+                os.environ["CAPITAL_LU_LOOKAHEAD"] = prev_la
         out.append(cand)
     return out
 
