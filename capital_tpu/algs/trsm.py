@@ -85,6 +85,14 @@ def solve(grid: Grid, a, b, *, side: str = "L", lower: bool = True,
         return summa.transpose(grid, xt, impl=cfg.tri.summa_impl)
 
     n, m = a.shape[0], b.shape[1]
+    # the panel gemms contract the RHS's column dim over the mesh slice:
+    # pad a too-narrow RHS (e.g. a single right-hand side on a d>=2
+    # grid) up to the divisibility unit and slice back after the scan
+    unit = max(grid.d, 1) * max(grid.c, 1)
+    m_pad = (-m) % unit
+    if m_pad:
+        b = jnp.pad(b, ((0, 0), (0, m_pad)))
+        m += m_pad
     nb = cfg.panel(grid, n)
     num_p = n // nb
     impl = cfg.tri.summa_impl
@@ -142,4 +150,6 @@ def solve(grid: Grid, a, b, *, side: str = "L", lower: bool = True,
 
     x, _ = lax.scan(body, x0, (a_rows, b_rows, dinv, offs),
                     reverse=not lower)
+    if m_pad:
+        x = lax.slice(x, (0, 0), (n, m - m_pad))
     return x

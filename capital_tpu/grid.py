@@ -278,4 +278,20 @@ class Grid:
         return self.sharding(P(None, None))
 
     def constrain(self, x: jax.Array, spec: P) -> jax.Array:
-        return jax.lax.with_sharding_constraint(x, self.sharding(spec))
+        """with_sharding_constraint, degrading non-divisible dims to
+        replicated: a (n, 1) RHS on a 2-wide x axis cannot be sharded
+        P('y','x') — XLA requires dim % axis == 0 — and the correct
+        semantic for a too-narrow dim is replication along that axis
+        (the operand still shards along its divisible dims)."""
+        sizes = dict(self.mesh.shape)
+        ent = []
+        for i, s in enumerate(spec):
+            if s is not None and i < x.ndim:
+                names = s if isinstance(s, tuple) else (s,)
+                total = 1
+                for nm in names:
+                    total *= sizes.get(nm, 1)
+                if x.shape[i] % total:
+                    s = None
+            ent.append(s)
+        return jax.lax.with_sharding_constraint(x, self.sharding(P(*ent)))

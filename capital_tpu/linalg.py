@@ -59,6 +59,9 @@ def spd_solve(grid: Grid, a, b, cfg: cholinv.Config | None = None,
     factor: optional precomputed (R, Rinv) pair — reuse one factorization
     across many right-hand sides."""
     a, b = _arr(a), _arr(b)
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]  # numpy convention: 1-D in, 1-D out (see solve)
     cfg = cfg or cholinv.Config(summa_impl="gspmd")
     if factor is None:
         _, rinv = cholinv.factor(grid, a, cfg)
@@ -78,7 +81,7 @@ def spd_solve(grid: Grid, a, b, cfg: cholinv.Config | None = None,
         with jax.default_matmul_precision("highest"):
             res = b - summa.gemm(grid, a, x, impl=cfg.summa_impl)
         x = x + apply_inv(res)
-    return x
+    return x[:, 0] if vec else x
 
 
 def inv(grid: Grid, a, cfg: cholinv.Config | None = None):
@@ -217,7 +220,11 @@ def solve(grid: Grid, a, b, method: str = "auto", refine: int = 2,
         the f32 factor is the production route.
     """
     a, b = _arr(a), _arr(b)
-    if b.ndim == 1:
+    vec = b.ndim == 1
+    if vec:
+        # numpy convention: 1-D b in, 1-D x out. Returning (n, 1) here
+        # is a correctness trap — `a @ x - b` then BROADCASTS to (n, n)
+        # and the user's residual check silently measures nonsense.
         b = b[:, None]
     cfg = cfg or cholinv.Config(summa_impl="gspmd")
     impl = cfg.summa_impl
@@ -230,7 +237,8 @@ def solve(grid: Grid, a, b, method: str = "auto", refine: int = 2,
         u, h = _polar.polar_jit(grid, a, pcfg, layout="2d")
         utb = summa.gemm(grid, summa.transpose(grid, u, impl=impl), b,
                          impl=impl)
-        return spd_solve(grid, h, utb, cfg=cfg, refine=refine)
+        xp = spd_solve(grid, h, utb, cfg=cfg, refine=refine)
+        return xp[:, 0] if vec else xp
     if method == "lu":
         from capital_tpu.algs import lu as _lu
 
@@ -243,7 +251,7 @@ def solve(grid: Grid, a, b, method: str = "auto", refine: int = 2,
             with jax.default_matmul_precision("highest"):
                 res = b - summa.gemm(grid, a, x, impl=impl)
             x = x + _lu.solve_factored(grid, w, perm, res)
-        return x
+        return x[:, 0] if vec else x
     if method != "normal":
         raise ValueError(f"unknown solve method {method!r}")
 
@@ -263,7 +271,7 @@ def solve(grid: Grid, a, b, method: str = "auto", refine: int = 2,
         with jax.default_matmul_precision("highest"):
             res = b - summa.gemm(grid, a, x, impl=impl)
         x = x + apply_pinv(res)
-    return x
+    return x[:, 0] if vec else x
 
 
 # Pade-13 coefficients of exp (Higham 2005, the scipy/LAPACK table)
@@ -384,6 +392,9 @@ def lstsq(grid: Grid, a, b, cfg: cacqr.Config | None = None,
     Each sweep is two mnk-class products (row-local; one psum for Q^T r) —
     cheap next to the 4mn² factorization for k << n."""
     a, b = _arr(a), _arr(b)
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]  # numpy convention: 1-D in, 1-D out (see solve)
     cfg = cfg or cacqr.Config(num_iter=2)
     if method == "tsqr":
         from capital_tpu.algs import tsqr as _tsqr
@@ -408,4 +419,5 @@ def lstsq(grid: Grid, a, b, cfg: cacqr.Config | None = None,
             res = b - _pdot(a, x.astype(a.dtype)).astype(a.dtype)
         x = x + solve_r(
             cacqr.apply_q(grid, q, res, trans=True, cfg=cfg, layout="1d"))
-    return x.astype(a.dtype)
+    x = x.astype(a.dtype)
+    return x[:, 0] if vec else x

@@ -380,3 +380,34 @@ def test_eig_residual_matches_dense(grid1):
     r_ref = float(np.linalg.norm(a64 @ v64 - v64 * np.asarray(w, np.float64))
                   / np.linalg.norm(a64))
     assert abs(r_dev - r_ref) < 1e-7 + 0.1 * r_ref
+
+
+def test_vector_rhs_convention(grid122):
+    """1-D b in -> 1-D x out, for every solve endpoint (numpy's
+    convention). Returning (n, 1) is a correctness trap: the user's
+    `a @ x - b` residual check then broadcasts to (n, n) and silently
+    measures nonsense."""
+    import numpy as np
+
+    n = 128
+    key = jax.random.key(11)
+    g = jax.random.normal(key, (n, n), dtype=jnp.float32)
+    spd = g @ g.T + n * jnp.eye(n)
+    b = jax.random.normal(jax.random.key(12), (n,), dtype=jnp.float32)
+
+    for method in ("normal", "lu", "polar"):
+        x = linalg.solve(grid122, g + 10 * jnp.eye(n), b, method=method)
+        assert x.shape == (n,), (method, x.shape)
+    x = linalg.spd_solve(grid122, spd, b)
+    assert x.shape == (n,)
+    res = float(jnp.linalg.norm(spd @ x - b) / jnp.linalg.norm(b))
+    assert res < 1e-4, res
+
+    m, k = 512, 32
+    a_tall = jax.random.normal(jax.random.key(13), (m, k), jnp.float32)
+    bt = jax.random.normal(jax.random.key(14), (m,), jnp.float32)
+    xt = linalg.lstsq(grid122, a_tall, bt)
+    assert xt.shape == (k,)
+    # least-squares optimality: A^T (A x - b) ~ 0
+    ng = float(jnp.linalg.norm(a_tall.T @ (a_tall @ xt - bt)))
+    assert ng < 1e-2 * float(jnp.linalg.norm(a_tall.T @ bt)), ng
