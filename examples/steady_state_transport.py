@@ -68,7 +68,11 @@ def transport_operator(g: int, nu: float, bx: float, by: float):
 
 
 def main():
-    devs = jax.devices("cpu") if jax.default_backend() == "cpu" else jax.devices()
+    # CAPITAL_FORCE_CPU=1 keeps the walkthrough off a tunnel-attached TPU
+    # (e.g. while a benchmark holds it — the tunnel serializes clients)
+    devs = (jax.devices("cpu")
+            if jax.default_backend() == "cpu" or os.environ.get("CAPITAL_FORCE_CPU")
+            else jax.devices())
     n_dev = max(d * d for d in (1, 2) if d * d <= len(devs))
     grid = Grid.square(c=1, d=int(n_dev**0.5), devices=devs[:n_dev])
     print(f"grid {grid.shape} on {grid.platform}")
