@@ -195,13 +195,20 @@ def _embed(grid: Grid, a, npad: int, diag: float):
 
 
 @partial(jax.jit, static_argnames=("grid", "cfg"))
+@partial(jax.jit, static_argnames=("grid", "cfg"))
 def _stage_sign(grid: Grid, a, sigma, cfg: Config):
     """U = sign(A - sigma I) via QDWH polar; returns (U, trace(U)).
 
     Unaligned n runs the polar on blkdiag(A - sigma I, 0): sign() of a
     block-diagonal is block-diagonal, so the top-left slice is exact, and
     a zero pad adds nothing to ||.||_F (QDWH's alpha) or to the Z-solves
-    (their pad diagonal is exactly 1)."""
+    (their pad diagonal is exactly 1).
+
+    jitted: the QDWH sweep dispatched eagerly holds ~5 live (n, n)
+    iterates (polar.py's polar_jit note) — at n=32768 that alone is the
+    16-GB HBM; compiled, XLA's liveness analysis peaks at ~3 and the
+    bf16-probe frontier run fits. One compile per (n, dtype), reused
+    across all counting probes and recursion levels."""
     n = a.shape[0]
     shifted = grid.constrain(
         a - sigma.astype(a.dtype) * jnp.eye(n, dtype=a.dtype), _spec(grid))
